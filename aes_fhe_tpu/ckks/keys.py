@@ -1,0 +1,121 @@
+"""Key material and key generation for the TPU-native CKKS engine.
+
+Replaces the reference engine's ``create_{secret,public,relinearization,
+conjugation,rotation,bootstrap}_key`` verbs (reference: engine_context.py:44-50).
+
+Hybrid (Han–Ki) gadget: the modulus chain is partitioned into ``dnum``
+contiguous digit groups G_j with products B_j; a switching key from s' to s is
+
+    ksk_j = ( -a_j s + e_j + g_j s',  a_j )   over Q*P,
+    g_j   =  P * (Q/B_j) * [(Q/B_j)^{-1}]_{B_j}.
+
+Because (Q/B_j) = 0 mod every prime outside G_j, the same keys serve every
+ciphertext level (digit groups simply truncate).  Keys are stored in the NTT
+evaluation domain and in Montgomery form, so the key-switch inner product is a
+single fused REDC-multiply-accumulate per limb — the TPU-native replacement
+for desilofhe's key-switch kernels.
+
+Sampling happens host-side with numpy (seeded, deterministic): the secret and
+noise are tiny integer polynomials; uniform polynomials are sampled directly
+as independent uniform residues per limb in the NTT domain (valid by CRT).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..params import CkksParams
+
+__all__ = ["KeySet", "sample_keys_host", "SIGMA"]
+
+SIGMA = 3.2  # discrete Gaussian width, standard CKKS choice
+
+
+@dataclass
+class KeySet:
+    """All device-side key material.  ``galois`` maps a Galois element g to a
+    switching key for sigma_g(s) -> s; rotations and conjugation both live
+    there (conjugation is g = 2N-1)."""
+
+    secret_mont: jnp.ndarray            # [L+K, N] NTT, Montgomery form
+    secret_ntt: jnp.ndarray             # [L+K, N] NTT, standard form
+    pk: jnp.ndarray                     # [2, L, N] NTT, Montgomery form
+    relin: jnp.ndarray                  # [n_groups, 2, L+K, N] NTT Montgomery
+    galois: dict[int, jnp.ndarray] = field(default_factory=dict)
+
+
+def _gaussian_coeffs(rng: np.random.Generator, n: int) -> np.ndarray:
+    return np.rint(rng.normal(0.0, SIGMA, size=n)).astype(np.int64)
+
+
+def _ternary_coeffs(rng: np.random.Generator, n: int) -> np.ndarray:
+    return rng.integers(-1, 2, size=n).astype(np.int64)
+
+
+def small_poly_residues(coeffs: np.ndarray, primes) -> np.ndarray:
+    """Signed small integer coeffs [N] -> u32 residues [len(primes), N]."""
+    out = np.empty((len(primes), coeffs.shape[0]), np.uint32)
+    for i, q in enumerate(primes):
+        out[i] = (coeffs % q).astype(np.uint32)
+    return out
+
+
+def uniform_ntt(rng: np.random.Generator, primes, n: int) -> np.ndarray:
+    """Uniform ring element sampled directly in the NTT domain (CRT-valid)."""
+    out = np.empty((len(primes), n), np.uint32)
+    for i, q in enumerate(primes):
+        out[i] = rng.integers(0, q, size=n, dtype=np.uint64).astype(np.uint32)
+    return out
+
+
+def gadget_residues(params: CkksParams) -> np.ndarray:
+    """g_j mod c for every digit group j and every prime c of Q*P: [J, L+K] u32."""
+    primes = params.all_primes
+    Q = params.q_products[params.n_limbs]
+    P = params.p_product
+    out = np.empty((len(params.groups), len(primes)), np.uint32)
+    for j, grp in enumerate(params.groups):
+        Bj = 1
+        for i in grp:
+            Bj *= params.moduli[i]
+        Bhat = Q // Bj
+        t = pow(Bhat, -1, Bj)
+        for t_idx, c in enumerate(primes):
+            out[j, t_idx] = (P % c) * (Bhat % c) % c * (t % c) % c
+    return out
+
+
+def sample_keys_host(
+    params: CkksParams, rng: np.random.Generator
+) -> dict[str, np.ndarray]:
+    """Host-side raw samples; the context finishes key construction on device
+    (NTTs, products with s).  Returns coefficient-domain small polys and
+    NTT-domain uniform polys."""
+    n = params.n
+    n_all = len(params.all_primes)
+    J = len(params.groups)
+    return {
+        "s_coeff": _ternary_coeffs(rng, n),
+        "pk_a_ntt": uniform_ntt(rng, params.moduli, n),
+        "pk_e_coeff": _gaussian_coeffs(rng, n),
+        "rlk_a_ntt": np.stack(
+            [uniform_ntt(rng, params.all_primes, n) for _ in range(J)]
+        ),
+        "rlk_e_coeff": np.stack([_gaussian_coeffs(rng, n) for _ in range(J)]),
+    }
+
+
+def sample_galois_parts(
+    params: CkksParams, rng: np.random.Generator
+) -> dict[str, np.ndarray]:
+    J = len(params.groups)
+    n = params.n
+    return {
+        "a_ntt": np.stack(
+            [uniform_ntt(rng, params.all_primes, n) for _ in range(J)]
+        ),
+        "e_coeff": np.stack([_gaussian_coeffs(rng, n) for _ in range(J)]),
+    }

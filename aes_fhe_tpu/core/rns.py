@@ -1,0 +1,123 @@
+"""RNS base conversion, rescaling, and mod-down — host tables + device ops.
+
+These are the residue-system plumbing verbs behind every CKKS multiply,
+key-switch and rescale (the reference engine hid them inside desilofhe's
+``multiply``/``relinearize``/``rescale``; SURVEY.md section 2.2).  All device
+functions are pure vectorized jnp over u32 arrays shaped [..., L, N] and
+operate in the *coefficient* domain unless noted.
+
+Fast (approximate) base conversion follows the standard HEAAN/SEAL recipe:
+
+    Conv_{B->c}(x) = sum_i [x_i * (B/b_i)^{-1}]_{b_i} * (B/b_i)  mod c
+
+which reconstructs x + alpha*B for a small alpha < |B| — the overshoot is
+absorbed by the key-switch special modulus / rescale noise budget.  Rescaling
+uses an exact centered single-prime drop.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from .modular import add_mod, sub_mod, mont_mul, barrett_reduce
+
+__all__ = ["ConvTables", "make_conv_tables", "base_convert", "rescale_last_limb"]
+
+_R = 1 << 32
+
+
+@dataclass(frozen=True)
+class ConvTables:
+    """Device constants for one fixed (source primes -> target primes) pair.
+
+    ghat_inv : [m]     ((B/b_i)^{-1} mod b_i) * R   (Montgomery form)
+    ghat_mod : [m, T]  ((B/b_i) mod c_t) * R        (Montgomery form)
+    src_q, src_qinv : [m]   source primes and -q^{-1} mod 2^32
+    tgt_q, tgt_qinv : [T]   target primes and -q^{-1} mod 2^32
+    """
+
+    ghat_inv: jnp.ndarray
+    ghat_mod: jnp.ndarray
+    src_q: jnp.ndarray
+    src_qinv: jnp.ndarray
+    tgt_q: jnp.ndarray
+    tgt_qinv: jnp.ndarray
+
+
+def make_conv_tables(src: tuple[int, ...], tgt: tuple[int, ...]) -> ConvTables:
+    """Host-exact table construction (Python big ints)."""
+    B = math.prod(src)
+    m, T = len(src), len(tgt)
+    ghat_inv = np.empty(m, np.uint32)
+    ghat_mod = np.empty((m, T), np.uint32)
+    for i, b in enumerate(src):
+        bhat = B // b
+        ghat_inv[i] = pow(bhat, -1, b) * _R % b
+        for t, c in enumerate(tgt):
+            ghat_mod[i, t] = bhat % c * _R % c
+    u32 = lambda xs: np.asarray(xs, np.uint32)
+    neg_inv = lambda ps: u32([(-pow(p, -1, _R)) % _R for p in ps])
+    return ConvTables(
+        ghat_inv=jnp.asarray(ghat_inv),
+        ghat_mod=jnp.asarray(ghat_mod),
+        src_q=jnp.asarray(u32(src)),
+        src_qinv=jnp.asarray(neg_inv(src)),
+        tgt_q=jnp.asarray(u32(tgt)),
+        tgt_qinv=jnp.asarray(neg_inv(tgt)),
+    )
+
+
+def base_convert(x: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
+    """Fast base conversion, coefficient domain.
+
+    x: u32 [..., m, N] residues for the source primes; returns [..., T, N]
+    residues for the target primes (value + alpha*B overshoot, alpha < m).
+    """
+    m = x.shape[-2]
+    y = mont_mul(
+        x,
+        t.ghat_inv[:, None],
+        t.src_q[:, None],
+        t.src_qinv[:, None],
+    )  # [..., m, N] : [x_i * (B/b_i)^{-1}]_{b_i}
+    tq = t.tgt_q[:, None]
+    tqi = t.tgt_qinv[:, None]
+    acc = None
+    for i in range(m):
+        # y_i may exceed a target prime; Montgomery REDC still returns the
+        # exact product mod c because t_hi < c (both factors < 2^31).
+        term = mont_mul(y[..., i : i + 1, :], t.ghat_mod[i][:, None], tq, tqi)
+        acc = term if acc is None else add_mod(acc, term, tq)
+    return acc
+
+
+def rescale_last_limb(
+    x_rest: jnp.ndarray,
+    x_last: jnp.ndarray,
+    q_last: int,
+    rest_q: jnp.ndarray,
+    rest_qinv: jnp.ndarray,
+    rest_mu: jnp.ndarray,
+    q_last_mod: jnp.ndarray,
+    inv_q_last: jnp.ndarray,
+) -> jnp.ndarray:
+    """Exact centered rescale by the last prime, coefficient domain.
+
+    x_rest: [..., l-1, N] residues mod the remaining primes;
+    x_last: [..., 1, N] residue mod q_last.
+    Returns round-ish((x - [x]_{q_last}) / q_last) per remaining prime:
+        out_i = (x_i - centered(x_last) mod q_i) * q_last^{-1} mod q_i.
+    `q_last_mod` = q_last mod q_i [l-1]; `inv_q_last` = (q_last^{-1} mod q_i)*R.
+    """
+    q = rest_q[:, None]
+    qi = rest_qinv[:, None]
+    half = jnp.uint32((q_last + 1) // 2)
+    r = barrett_reduce(x_last, q, rest_mu[:, None])
+    # centered lift: subtract q_last (mod q_i) where x_last >= ceil(q_last/2)
+    r_c = sub_mod(r, q_last_mod[:, None], q)
+    r = jnp.where(x_last >= half, r_c, r)
+    return mont_mul(sub_mod(x_rest, r, q), inv_q_last[:, None], q, qi)

@@ -1,0 +1,31 @@
+"""Test harness config: force an 8-device virtual CPU mesh before jax loads.
+
+Multi-chip logic is tested on CPU exactly as the driver validates it
+(xla_force_host_platform_device_count); real-TPU paths are exercised by
+bench.py only.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+import jax
+
+# The axon TPU plugin in this image force-registers itself ahead of the env
+# var; an explicit config update is the only reliable way to pin tests to the
+# virtual CPU mesh (and to local, fast XLA compiles).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(7)
