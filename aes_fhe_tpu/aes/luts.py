@@ -1,0 +1,107 @@
+"""Offline LUT coefficient generation over roots of unity (unit-normalized).
+
+Regenerates, from first principles, every coefficient set the reference ships
+as gen/coeff/*.json (reference: gen/generate_xor4_coeffs.py,
+gen/generate_sobx_coeffs.py, gen/generate_gf_mult_2var_coeff.py):
+
+- xor4:        16x16 bivariate, P(z^p, z^q) = z^(p XOR q), zeta16 domain.
+               Nonzeros land only on odd (p, q) — 64 terms.
+- sbox hi/lo:  degree-255 univariate over zeta256, value zeta16^{nib(SBOX[b])}.
+- inv sbox:    same with INV_SBOX.
+- gf_mult k:   16x16 bivariate per output nibble, value
+               zeta16^{nib(gf_mul(byte, k))}, for k in {1,2,3,9,11,13,14}.
+- lift:        degree-15 univariate mapping zeta16^v -> zeta256^v.
+
+All sets use *unit-normalized* ifft (this fixes the reference's x256-scaled
+XOR coefficients, SURVEY.md quirk Q2 / gen/generate_xor4_coeffs.py:17, which
+forced hard renorm after every XOR there).  ``verify_*`` helpers re-evaluate
+every polynomial on all inputs exactly, mirroring the reference's
+quick_verify discipline (gen/generate_gf_mult_2var_coeff.py:80-103); they run
+as unit tests here."""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .reference import SBOX, INV_SBOX, gf_mul
+from .zeta import ZetaCodec
+
+__all__ = [
+    "xor4_coeffs",
+    "sbox_coeffs",
+    "gf_mult_coeffs",
+    "lift16_to_256_coeffs",
+    "verify_bivariate_16",
+    "verify_univariate_256",
+]
+
+TOL = 1e-11
+
+
+def _sparsify(c: np.ndarray) -> np.ndarray:
+    out = c.copy()
+    out[np.abs(out) < TOL] = 0.0
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def xor4_coeffs() -> np.ndarray:
+    """[16,16] complex: sum_{p,q} c[p,q] x^p y^q = zeta16^(a XOR b) on the
+    codebook x=zeta16^a, y=zeta16^b."""
+    a = np.arange(16)
+    F = ZetaCodec.to_zeta(a[:, None] ^ a[None, :], 16)
+    return _sparsify(np.fft.ifft2(F))
+
+
+@functools.lru_cache(maxsize=None)
+def sbox_coeffs(inverse: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) each [256] complex over zeta256: byte b -> zeta16^{nibble}."""
+    table = INV_SBOX if inverse else SBOX
+    hi = ZetaCodec.to_zeta(table >> 4, 16)
+    lo = ZetaCodec.to_zeta(table & 0x0F, 16)
+    return _sparsify(np.fft.ifft(hi)), _sparsify(np.fft.ifft(lo))
+
+
+@functools.lru_cache(maxsize=None)
+def gf_mult_coeffs(k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) each [16,16]: (h, l) nibbles of byte -> nibbles of k*byte in
+    GF(2^8)."""
+    bytes_ = (np.arange(16)[:, None] << 4) | np.arange(16)[None, :]
+    prod = np.vectorize(lambda b: gf_mul(int(b), k))(bytes_).astype(np.uint8)
+    hi = ZetaCodec.to_zeta(prod >> 4, 16)
+    lo = ZetaCodec.to_zeta(prod & 0x0F, 16)
+    return _sparsify(np.fft.ifft2(hi)), _sparsify(np.fft.ifft2(lo))
+
+
+@functools.lru_cache(maxsize=None)
+def lift16_to_256_coeffs() -> np.ndarray:
+    """[16] complex: maps zeta16^v -> zeta256^v (reference:
+    sub_bytes_lut.py:38-44)."""
+    z256 = np.exp(-2j * np.pi / 256)
+    vals = z256 ** np.arange(16)
+    return _sparsify(np.fft.ifft(vals))
+
+
+# ---------------------------------------------------------------------------
+# exhaustive verification (exact phase-decode on every input)
+# ---------------------------------------------------------------------------
+
+def verify_bivariate_16(coeffs: np.ndarray, truth) -> bool:
+    """truth(p, q) -> int nibble; checks all 256 inputs decode exactly."""
+    z = ZetaCodec.to_zeta(np.arange(16), 16)
+    xp = z[:, None] ** np.arange(16)[None, :]       # [16 val, 16 pow]
+    vals = np.einsum("ap,bq,pq->ab", xp, xp, coeffs)
+    dec = ZetaCodec.from_zeta(vals, 16)
+    want = np.array([[truth(p, q) for q in range(16)] for p in range(16)])
+    return bool(np.array_equal(dec, want))
+
+
+def verify_univariate_256(coeffs: np.ndarray, truth) -> bool:
+    z = np.exp(-2j * np.pi / 256) ** np.arange(256)
+    powers = z[:, None] ** np.arange(256)[None, :]
+    vals = powers @ coeffs
+    dec = ZetaCodec.from_zeta(vals, 16)
+    want = np.array([truth(b) for b in range(256)])
+    return bool(np.array_equal(dec, want))

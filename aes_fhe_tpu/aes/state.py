@@ -1,0 +1,63 @@
+"""Packed AES state <-> ciphertext pair (hi/lo nibbles over zeta16 slots).
+
+Functional equivalent of the reference's StateEncoder (reference:
+state_encoder.py:8-38), generalized to a block-batch axis: n_slots/16 AES
+blocks pack into ONE ciphertext pair.  Block b's byte i lives at slot
+i*stride + b (stride = n_slots/16), hi/lo nibbles in separate ciphertexts,
+each encoded as zeta16^v.  Unused slots hold 1+0j (= zeta16^0), as the
+reference does (state_encoder.py:23-27)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ckks.context import CkksContext
+from ..ckks.types import Ciphertext
+from .zeta import ZetaCodec
+
+__all__ = ["StateEncoder"]
+
+
+class StateEncoder:
+    def __init__(self, ctx: CkksContext):
+        self.ctx = ctx
+        self.n_slots = ctx.params.n_slots
+        self.stride = self.n_slots // 16
+        self.batch = self.stride  # max AES blocks per ciphertext pair
+
+    def pack_slots(self, states: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """states: u8 [B, 16] (B <= stride) -> (hi, lo) complex [n_slots]."""
+        states = np.atleast_2d(np.asarray(states, np.uint8))
+        B = states.shape[0]
+        assert states.shape[1] == 16 and B <= self.stride
+        hi = np.ones(self.n_slots, np.complex128)
+        lo = np.ones(self.n_slots, np.complex128)
+        zhi = ZetaCodec.to_zeta(states >> 4, 16)       # [B, 16]
+        zlo = ZetaCodec.to_zeta(states & 0x0F, 16)
+        idx = np.arange(16)[None, :] * self.stride + np.arange(B)[:, None]
+        hi[idx] = zhi
+        lo[idx] = zlo
+        return hi, lo
+
+    def unpack_slots(
+        self, hi: np.ndarray, lo: np.ndarray, n_blocks: int = 1
+    ) -> np.ndarray:
+        idx = (
+            np.arange(16)[None, :] * self.stride + np.arange(n_blocks)[:, None]
+        )
+        h = ZetaCodec.from_zeta(hi[idx], 16)
+        l = ZetaCodec.from_zeta(lo[idx], 16)
+        return ((h << 4) | l).astype(np.uint8)
+
+    def encrypt(
+        self, states: np.ndarray, limbs: int | None = None
+    ) -> tuple[Ciphertext, Ciphertext]:
+        hi, lo = self.pack_slots(states)
+        return self.ctx.encrypt(hi, limbs=limbs), self.ctx.encrypt(lo, limbs=limbs)
+
+    def decrypt(
+        self, ct_hi: Ciphertext, ct_lo: Ciphertext, n_blocks: int = 1
+    ) -> np.ndarray:
+        hi = self.ctx.decrypt_values(ct_hi)
+        lo = self.ctx.decrypt_values(ct_lo)
+        return self.unpack_slots(hi, lo, n_blocks)

@@ -234,10 +234,14 @@ class CkksContext:
         return jnp.asarray(out)
 
     def galois_element_for_rotation(self, delta: int) -> int:
-        """Galois element realizing a slot rotation by ``delta``
-        (slot semantics fixed by tests: decode(rotate(ct, d)) == roll(v, d))."""
+        """Galois element realizing a slot rotation by ``delta``.
+
+        Semantics (locked by tests/test_ckks.py::test_rotate):
+        decode(rotate(ct, d)) == np.roll(decode(ct), d).  With the generator-5
+        slot ordering this is sigma_g with g = 5^{-d} mod 2N.
+        """
         p = self.params
-        return pow(5, delta % p.n_slots, p.two_n)
+        return pow(5, (-delta) % p.n_slots, p.two_n)
 
     @functools.lru_cache(maxsize=None)
     def _galois_perm(self, g: int) -> jnp.ndarray:
