@@ -1,0 +1,310 @@
+"""Homomorphic AES round operations over packed zeta16 nibble ciphertexts.
+
+Parity targets (reference): XOR4LUT (xor4_lut.py), AddRoundKey
+(add_round_key.py), SubBytesLUTFastCached (sub_bytes_lut.py), ShiftRows /
+InvShiftRows (shift_rows.py, inv_shiftrows.py), MixColFinal (mixcol_final.py),
+InvMixColumnsFHE (invmixcolumns_fhe.py), Zeta16 snap (zeta16_noise_reducter.py,
+noise_reduction.py).
+
+Slot layout: *row-major* — state byte (r, c) lives at slot block
+(4r + c) * stride.  This differs deliberately from the reference's
+column-first ShiftRows packing (shift_rows.py:25-37): with a row-major
+layout, MixColumns' within-column neighbor alignment a_{r+k,c} is a single
+global rotation by -4k*stride (index mod 4 — the column — is preserved under
+rotation of the 16-block cycle), so MixColumns needs NO masks and burns no
+scale levels on masking.  The reference's own MixColumns module silently
+assumed this row-major view (mixcol_final.py:101-102, 169-221) while its
+ShiftRows assumed column-first — an inconsistency this build resolves by
+fixing row-major in slot space and handling the byte<->slot transpose for
+free in the host-side StateEncoder packing.
+
+ShiftRows then needs two masked rotations per row (rows 1-3) since rows are
+contiguous 4-blocks; total 7 block masks + 6 rotations per ciphertext.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+
+from ..ckks.context import CkksContext
+from ..ckks.types import Ciphertext, Plaintext
+from . import luts
+from .lut_eval import build_power_basis, eval_lut_2d
+
+__all__ = [
+    "CtPair",
+    "Xor4",
+    "AddRoundKey",
+    "SubBytes",
+    "ShiftRows",
+    "MixColumns",
+    "InvMixColumns",
+    "Snap",
+    "rotation_steps_required",
+]
+
+CtPair = tuple[Ciphertext, Ciphertext]
+
+MASK_SCALE = Fraction(1 << 29)
+
+
+def rotation_steps_required(stride: int) -> list[int]:
+    """Every slot-rotation amount the AES ops use (for Galois keygen)."""
+    s = stride
+    return [-s, -2 * s, -3 * s, s, 2 * s, 3 * s, -4 * s, -8 * s, -12 * s]
+
+
+def _nz_axes(coeffs: np.ndarray) -> tuple[set[int], set[int]]:
+    nz = np.abs(coeffs) > 1e-11
+    return (
+        {p for p in range(coeffs.shape[0]) if nz[p].any() and p > 0},
+        {q for q in range(coeffs.shape[1]) if nz[:, q].any() and q > 0},
+    )
+
+
+def _basis_list(basis: dict[int, Ciphertext], size: int) -> list:
+    return [None] + [basis.get(k) for k in range(1, size)]
+
+
+class Xor4:
+    """4-bit XOR via the 64-term bivariate LUT (reference: xor4_lut.py).
+
+    Only odd powers appear in the coefficient set, so each operand basis is 4
+    multiplies + 4 conjugations; the 64 terms collapse to 8 lazy tensor
+    products and ONE relinearization (vs 64 relinearizing multiplies in the
+    reference hot loop, xor4_lut.py:71-73)."""
+
+    def __init__(self, ctx: CkksContext):
+        self.ctx = ctx
+        self.coeffs = luts.xor4_coeffs()
+        self.need_p, self.need_q = _nz_axes(self.coeffs)
+
+    def __call__(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        bx = build_power_basis(self.ctx, a, self.need_p, mirror=16)
+        by = build_power_basis(self.ctx, b, self.need_q, mirror=16)
+        return eval_lut_2d(
+            self.ctx, self.coeffs, _basis_list(bx, 16), _basis_list(by, 16)
+        )
+
+    def pair(self, x: CtPair, y: CtPair) -> CtPair:
+        return self(x[0], y[0]), self(x[1], y[1])
+
+
+class AddRoundKey:
+    """state XOR roundkey, nibble-wise (reference: add_round_key.py:138-144)."""
+
+    def __init__(self, xor4: Xor4):
+        self.xor4 = xor4
+
+    def __call__(self, state: CtPair, key: CtPair) -> CtPair:
+        return self.xor4.pair(state, key)
+
+
+class SubBytes:
+    """8->(4,4) S-box via baby-step/giant-step dual polynomial evaluation.
+
+    Pipeline (reference: sub_bytes_lut.py:46-73, redesigned):
+      1. lift lo nibble zeta16 -> zeta256 (pure scalar sum over a deg-8
+         basis: no key switch beyond the basis itself);
+      2. recombine byte ct_b = ct_hi * lift(ct_lo);
+      3. ONE shared baby (x^1..x^15) + giant (x^16j, j<=8) basis;
+      4. four BSGS accumulations (hi/lo x low/high-half), high halves
+         folded through conjugation: P(x) = R(x) + conj(Q(x)) with
+         Q(y) = sum conj(c_{256-j}) y^j  (|x| = 1 on the codebook).
+    ~45 key switches total vs ~150 in the reference's 128-power-basis loop.
+    """
+
+    def __init__(self, ctx: CkksContext, inverse: bool = False):
+        self.ctx = ctx
+        hi, lo = luts.sbox_coeffs(inverse)
+        self.low_hi, self.high_hi = self._split(hi)
+        self.low_lo, self.high_lo = self._split(lo)
+        self.lift = luts.lift16_to_256_coeffs().reshape(1, 16)
+        self.lift_need = {
+            q for q in range(1, 16) if abs(self.lift[0, q]) > 1e-11
+        }
+
+    @staticmethod
+    def _split(c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Degree-255 coeffs -> (low [9,16] for x^0..x^128,
+        high [8,16] for conj-folded x^129..x^255 as Q(y), y-deg 1..127)."""
+        low = np.zeros((9, 16), np.complex128)
+        for k in range(129):
+            low[k // 16, k % 16] = c[k]
+        high = np.zeros((8, 16), np.complex128)
+        for k in range(129, 256):
+            j = 256 - k  # 1..127
+            high[j // 16, j % 16] = np.conj(c[k])
+        return low, high
+
+    def __call__(self, ct_hi: Ciphertext, ct_lo: Ciphertext) -> CtPair:
+        ctx = self.ctx
+        # 1) lift: univariate scalar sum (P=1 row in the generic evaluator)
+        lb = build_power_basis(ctx, ct_lo, self.lift_need, mirror=16)
+        lifted = eval_lut_2d(ctx, self.lift, [None], _basis_list(lb, 16))
+        # 2) recombine to the byte codeword zeta256^b
+        ct_b = ctx.multiply(ct_hi, lifted, drop=2)
+        # 3) shared babies + giants
+        targets = set(range(2, 16)) | {16 * j for j in range(1, 9)}
+        basis = build_power_basis(ctx, ct_b, targets)
+        giants = [None] + [basis[16 * j] for j in range(1, 9)]
+        babies = _basis_list(basis, 16)
+        # 4) four accumulations, two conjugation folds
+        out = []
+        for low, high in ((self.low_hi, self.high_hi), (self.low_lo, self.high_lo)):
+            r = eval_lut_2d(ctx, low, giants, babies)
+            q = eval_lut_2d(ctx, high, giants, babies)
+            out.append(ctx.add(r, ctx.conjugate(q)))
+        return out[0], out[1]
+
+
+class ShiftRows:
+    """Row r rotated left by r (right for the inverse), row-major layout.
+
+    Rows are contiguous 4-blocks, so each row needs two masked global
+    rotations (split at the wrap point); row 0 contributes a masked identity.
+    Masks are stride-wide (block-batch safe — the reference's single-slot
+    masks, shift_rows.py:27-33, only handled one block per stride)."""
+
+    def __init__(self, ctx: CkksContext, stride: int, inverse: bool = False):
+        self.ctx = ctx
+        self.stride = stride
+        n_slots = ctx.params.n_slots
+        # (mask plaintext, rotation amount) pairs
+        self.parts: list[tuple[Plaintext, int]] = []
+
+        def block_mask(slot_indices: list[int]) -> np.ndarray:
+            m = np.zeros(n_slots, np.complex128)
+            for i in slot_indices:
+                m[i * stride : (i + 1) * stride] = 1.0
+            return m
+
+        full_limbs = ctx.params.n_limbs
+        for r in range(4):
+            shift = (-r) % 4 if inverse else r
+            if shift == 0:
+                idx = [4 * r + c for c in range(4)]
+                self.parts.append(
+                    (ctx.encode_plain(block_mask(idx), MASK_SCALE, full_limbs), 0)
+                )
+                continue
+            # branch A: sources c' >= shift travel -shift
+            idx_a = [4 * r + c for c in range(shift, 4)]
+            # branch B: sources c' < shift wrap with +(4 - shift)
+            idx_b = [4 * r + c for c in range(shift)]
+            self.parts.append(
+                (
+                    ctx.encode_plain(block_mask(idx_a), MASK_SCALE, full_limbs),
+                    -shift * stride,
+                )
+            )
+            self.parts.append(
+                (
+                    ctx.encode_plain(block_mask(idx_b), MASK_SCALE, full_limbs),
+                    (4 - shift) * stride,
+                )
+            )
+
+    def one(self, ct: Ciphertext) -> Ciphertext:
+        ctx = self.ctx
+        acc = None
+        for mask, rot in self.parts:
+            t = ctx.mul_plain(ct, mask)
+            if rot:
+                t = ctx.rotate(t, rot)
+            acc = t if acc is None else ctx.add(acc, t)
+        return ctx.rescale(acc, 1)
+
+    def __call__(self, state: CtPair) -> CtPair:
+        return self.one(state[0]), self.one(state[1])
+
+
+class _GfMixBase:
+    """Shared machinery: rotation alignment + GF-mult bivariate LUTs + XOR
+    accumulation tree."""
+
+    def __init__(self, ctx: CkksContext, xor4: Xor4, stride: int):
+        self.ctx = ctx
+        self.xor4 = xor4
+        self.stride = stride
+
+    def _rot_pair(self, state: CtPair, k: int) -> CtPair:
+        """Align a_{r+k, c} onto (r, c): global rotation by -4k*stride."""
+        d = -4 * k * self.stride
+        return self.ctx.rotate(state[0], d), self.ctx.rotate(state[1], d)
+
+    def _gf_mult(self, state: CtPair, k: int) -> CtPair:
+        hi_c, lo_c = luts.gf_mult_coeffs(k)
+        need_p = _nz_axes(hi_c)[0] | _nz_axes(lo_c)[0]
+        need_q = _nz_axes(hi_c)[1] | _nz_axes(lo_c)[1]
+        bx = build_power_basis(self.ctx, state[0], need_p, mirror=16)
+        by = build_power_basis(self.ctx, state[1], need_q, mirror=16)
+        bxl, byl = _basis_list(bx, 16), _basis_list(by, 16)
+        return (
+            eval_lut_2d(self.ctx, hi_c, bxl, byl),
+            eval_lut_2d(self.ctx, lo_c, bxl, byl),
+        )
+
+
+class MixColumns(_GfMixBase):
+    """b = 2a XOR 3*rot1(a) XOR rot2(a) XOR rot3(a) — the diagonal
+    decomposition (reference: mixcol_final.py:112-165, README.md:26-27), with
+    a balanced XOR tree (depth 2 instead of the reference's sequential
+    chain)."""
+
+    def __call__(self, state: CtPair) -> CtPair:
+        r1 = self._rot_pair(state, 1)
+        r2 = self._rot_pair(state, 2)
+        r3 = self._rot_pair(state, 3)
+        t2 = self._gf_mult(state, 2)
+        t3 = self._gf_mult(r1, 3)
+        left = self.xor4.pair(t2, t3)
+        right = self.xor4.pair(r2, r3)
+        return self.xor4.pair(left, right)
+
+
+class InvMixColumns(_GfMixBase):
+    """b = 14a XOR 11*rot1 XOR 13*rot2 XOR 9*rot3 (reference:
+    invmixcolumns_fhe.py:131-170).  Present and *wired into decryption* —
+    the reference's committed decrypt dropped it (SURVEY.md quirk Q1)."""
+
+    def __call__(self, state: CtPair) -> CtPair:
+        r1 = self._rot_pair(state, 1)
+        r2 = self._rot_pair(state, 2)
+        r3 = self._rot_pair(state, 3)
+        t14 = self._gf_mult(state, 14)
+        t11 = self._gf_mult(r1, 11)
+        t13 = self._gf_mult(r2, 13)
+        t9 = self._gf_mult(r3, 9)
+        left = self.xor4.pair(t14, t11)
+        right = self.xor4.pair(t13, t9)
+        return self.xor4.pair(left, right)
+
+
+class Snap:
+    """Zeta16 codeword re-anchoring: f(x) = (1 + 1/16)x - (1/16)x^17.
+
+    The contractive map of the reference's NoiseReducer family
+    (noise_reduction.py:22-28, zeta16_noise_reducter.py) with exact
+    closed-form coefficients (no ill-conditioned LS fit — SURVEY.md C21).
+    Quadratic error contraction in both phase and magnitude at every 16th
+    root of unity.  Pure polynomial — no secret key involved (unlike the
+    reference's hard renorm, quirk Q4)."""
+
+    def __init__(self, ctx: CkksContext):
+        self.ctx = ctx
+
+    def one(self, ct: Ciphertext) -> Ciphertext:
+        ctx = self.ctx
+        basis = build_power_basis(ctx, ct, {16})
+        x17 = ctx.multiply(basis[16], ct, drop=2)
+        coeffs = np.zeros((1, 18), np.complex128)
+        coeffs[0, 1] = 17.0 / 16.0
+        coeffs[0, 17] = -1.0 / 16.0
+        by = [None] + [basis.get(k) for k in range(1, 17)] + [x17]
+        return eval_lut_2d(ctx, coeffs, [None], by)
+
+    def pair(self, state: CtPair) -> CtPair:
+        return self.one(state[0]), self.one(state[1])

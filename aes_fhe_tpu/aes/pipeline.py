@@ -1,0 +1,191 @@
+"""AES-128 homomorphic pipeline: round sequencing + noise policy.
+
+Parity target: AESPipeline (reference: pipeline.py:28-254) with two
+deliberate fixes:
+
+- **Correct decryption** (fixes SURVEY.md quirk Q1): the round loop applies
+  ISR -> ISB -> ARK -> InvMixColumns per README.md:86-94; the reference's
+  committed decrypt dropped InvMixColumns (pipeline.py:230-237).
+- **Explicit SnapPolicy** (fixes quirk Q4): stabilization between steps is a
+  static, configurable policy instead of secret-key hard renorm hidden in the
+  hot path:
+    * NONE         — rely on precision alone (fine for a round or two);
+    * POLY         — the zeta16 snap polynomial (no secret key, jittable);
+    * DEBUG_RENORM — decrypt/re-encrypt exactly like the reference's
+      ``_renorm_pair`` (pipeline.py:65-69).  Test-only: uses the secret key
+      and resets the level budget; excluded from benchmark paths.
+
+Bootstrap-based stabilization lands in ckks/bootstrap.py and will slot in as
+a fourth policy.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any
+
+import numpy as np
+
+from ..ckks.context import CkksContext
+from .state import StateEncoder
+from .ops import (
+    CtPair,
+    Xor4,
+    AddRoundKey,
+    SubBytes,
+    ShiftRows,
+    MixColumns,
+    InvMixColumns,
+    Snap,
+    rotation_steps_required,
+)
+
+__all__ = ["SnapPolicy", "AES128"]
+
+
+class SnapPolicy(enum.Enum):
+    NONE = "none"
+    POLY = "poly"
+    DEBUG_RENORM = "debug_renorm"  # secret-key crutch; test-only
+
+
+class AES128:
+    """Homomorphic AES-128 over packed zeta16 nibble ciphertext pairs.
+
+    ``encrypt_states``/``decrypt_states`` mirror the reference pipeline's
+    ``encrypt``/``decrypt`` (pipeline.py:123-254); ``debug`` captures decoded
+    per-stage snapshots like ``_log_pair`` (pipeline.py:84-98) — snapshot
+    decoding uses the secret key and exists for differential testing only.
+    """
+
+    @staticmethod
+    def required_rotations(ctx: CkksContext) -> list[int]:
+        return rotation_steps_required(ctx.params.n_slots // 16)
+
+    def __init__(
+        self,
+        ctx: CkksContext,
+        policy: SnapPolicy = SnapPolicy.POLY,
+    ):
+        self.ctx = ctx
+        self.policy = policy
+        self.encoder = StateEncoder(ctx)
+        self.xor4 = Xor4(ctx)
+        self.ark = AddRoundKey(self.xor4)
+        self.sub = SubBytes(ctx, inverse=False)
+        self.inv_sub = SubBytes(ctx, inverse=True)
+        stride = self.encoder.stride
+        self.shift = ShiftRows(ctx, stride, inverse=False)
+        self.inv_shift = ShiftRows(ctx, stride, inverse=True)
+        self.mix = MixColumns(ctx, self.xor4, stride)
+        self.inv_mix = InvMixColumns(ctx, self.xor4, stride)
+        self.snap = Snap(ctx)
+        self._rk_cache: dict[int, list[CtPair]] = {}
+
+    # ------------------------------------------------------------------
+    def prepare_round_keys(self, round_keys: list[np.ndarray]) -> list[CtPair]:
+        """Encrypt the (plaintext) round keys once, broadcast across the
+        block batch (reference cache: pipeline.py:75-81)."""
+        key = hash(tuple(int(b) for rk in round_keys for b in rk))
+        if key not in self._rk_cache:
+            B = self.encoder.batch
+            self._rk_cache[key] = [
+                self.encoder.encrypt(np.tile(np.asarray(rk, np.uint8), (B, 1)))
+                for rk in round_keys
+            ]
+        return self._rk_cache[key]
+
+    def _stabilize(self, state: CtPair, debug: dict | None, tag: str) -> CtPair:
+        if self.policy is SnapPolicy.POLY:
+            state = self.snap.pair(state)
+        elif self.policy is SnapPolicy.DEBUG_RENORM:
+            n = self.encoder.batch
+            decoded = self.encoder.decrypt(state[0], state[1], n_blocks=n)
+            state = self.encoder.encrypt(decoded)
+        if debug is not None:
+            debug[tag] = self._snapshot(state)
+        return state
+
+    def _log(self, debug: dict | None, tag: str, state: CtPair) -> CtPair:
+        if debug is not None:
+            debug[tag] = self._snapshot(state)
+        return state
+
+    def _snapshot(self, state: CtPair) -> np.ndarray:
+        return self.encoder.decrypt(
+            state[0], state[1], n_blocks=self.encoder.batch
+        )
+
+    # ------------------------------------------------------------------
+    def encrypt_states(
+        self,
+        states: np.ndarray,
+        round_keys: list[np.ndarray],
+        n_rounds: int = 10,
+        debug: dict[str, Any] | None = None,
+    ) -> CtPair:
+        """Full homomorphic AES-128 encryption of packed plaintext blocks."""
+        rk = self.prepare_round_keys(round_keys)
+        B = self.encoder.batch
+        states = np.atleast_2d(np.asarray(states, np.uint8))
+        if states.shape[0] < B:  # pad the batch with copies of block 0
+            states = np.vstack(
+                [states, np.tile(states[:1], (B - states.shape[0], 1))]
+            )
+        ct = self.encoder.encrypt(states)
+        self._log(debug, "enc.input", ct)
+
+        ct = self.ark(ct, rk[0])
+        self._log(debug, "enc.r0.ark", ct)
+        ct = self._stabilize(ct, debug, "enc.r0.stab")
+
+        for r in range(1, n_rounds):
+            ct = self._log(debug, f"enc.r{r}.sub", self.sub(*ct))
+            ct = self._stabilize(ct, debug, f"enc.r{r}.sub.stab")
+            ct = self._log(debug, f"enc.r{r}.sr", self.shift(ct))
+            ct = self._log(debug, f"enc.r{r}.mc", self.mix(ct))
+            ct = self._stabilize(ct, debug, f"enc.r{r}.mc.stab")
+            ct = self._log(debug, f"enc.r{r}.ark", self.ark(ct, rk[r]))
+            ct = self._stabilize(ct, debug, f"enc.r{r}.stab")
+
+        ct = self._log(debug, "enc.final.sub", self.sub(*ct))
+        ct = self._stabilize(ct, debug, "enc.final.sub.stab")
+        ct = self._log(debug, "enc.final.sr", self.shift(ct))
+        ct = self._log(debug, "enc.final.ark", self.ark(ct, rk[n_rounds]))
+        ct = self._stabilize(ct, debug, "enc.output")
+        return ct
+
+    def decrypt_states(
+        self,
+        ct: CtPair,
+        round_keys: list[np.ndarray],
+        n_rounds: int = 10,
+        debug: dict[str, Any] | None = None,
+    ) -> CtPair:
+        """Full homomorphic AES-128 decryption — correct inverse order
+        (ISR -> ISB -> ARK -> IMC), fixing reference quirk Q1."""
+        rk = self.prepare_round_keys(round_keys)
+        self._log(debug, "dec.input", ct)
+        ct = self._log(debug, "dec.init.ark", self.ark(ct, rk[n_rounds]))
+        ct = self._stabilize(ct, debug, "dec.init.stab")
+
+        for r in range(n_rounds - 1, 0, -1):
+            ct = self._log(debug, f"dec.r{r}.isr", self.inv_shift(ct))
+            ct = self._log(debug, f"dec.r{r}.isb", self.inv_sub(*ct))
+            ct = self._stabilize(ct, debug, f"dec.r{r}.isb.stab")
+            ct = self._log(debug, f"dec.r{r}.ark", self.ark(ct, rk[r]))
+            ct = self._stabilize(ct, debug, f"dec.r{r}.ark.stab")
+            ct = self._log(debug, f"dec.r{r}.imc", self.inv_mix(ct))
+            ct = self._stabilize(ct, debug, f"dec.r{r}.imc.stab")
+
+        ct = self._log(debug, "dec.final.isr", self.inv_shift(ct))
+        ct = self._log(debug, "dec.final.isb", self.inv_sub(*ct))
+        ct = self._stabilize(ct, debug, "dec.final.isb.stab")
+        ct = self._log(debug, "dec.final.ark", self.ark(ct, rk[0]))
+        ct = self._stabilize(ct, debug, "dec.output")
+        return ct
+
+    # convenience: decode a result pair back to bytes
+    def decode(self, ct: CtPair, n_blocks: int | None = None) -> np.ndarray:
+        n = self.encoder.batch if n_blocks is None else n_blocks
+        return self.encoder.decrypt(ct[0], ct[1], n_blocks=n)

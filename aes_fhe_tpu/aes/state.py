@@ -5,7 +5,14 @@ state_encoder.py:8-38), generalized to a block-batch axis: n_slots/16 AES
 blocks pack into ONE ciphertext pair.  Block b's byte i lives at slot
 i*stride + b (stride = n_slots/16), hi/lo nibbles in separate ciphertexts,
 each encoded as zeta16^v.  Unused slots hold 1+0j (= zeta16^0), as the
-reference does (state_encoder.py:23-27)."""
+reference does (state_encoder.py:23-27).
+
+Slot order is *row-major*: byte i (standard FIPS order, row i%4 / col i//4)
+lands in slot block (4*(i%4) + i//4) * stride.  The transpose happens here,
+host-side and free, so that MixColumns' column rotations become single global
+slot rotations (see aes/ops.py module docstring; the reference mixed
+column-first packing with row-major MixColumns rotations —
+state_encoder.py:14-16 vs mixcol_final.py:101-102)."""
 
 from __future__ import annotations
 
@@ -24,6 +31,8 @@ class StateEncoder:
         self.n_slots = ctx.params.n_slots
         self.stride = self.n_slots // 16
         self.batch = self.stride  # max AES blocks per ciphertext pair
+        i = np.arange(16)
+        self.slot_of_byte = 4 * (i % 4) + i // 4  # transpose: byte -> slot
 
     def pack_slots(self, states: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """states: u8 [B, 16] (B <= stride) -> (hi, lo) complex [n_slots]."""
@@ -34,7 +43,9 @@ class StateEncoder:
         lo = np.ones(self.n_slots, np.complex128)
         zhi = ZetaCodec.to_zeta(states >> 4, 16)       # [B, 16]
         zlo = ZetaCodec.to_zeta(states & 0x0F, 16)
-        idx = np.arange(16)[None, :] * self.stride + np.arange(B)[:, None]
+        idx = (
+            self.slot_of_byte[None, :] * self.stride + np.arange(B)[:, None]
+        )
         hi[idx] = zhi
         lo[idx] = zlo
         return hi, lo
@@ -43,7 +54,8 @@ class StateEncoder:
         self, hi: np.ndarray, lo: np.ndarray, n_blocks: int = 1
     ) -> np.ndarray:
         idx = (
-            np.arange(16)[None, :] * self.stride + np.arange(n_blocks)[:, None]
+            self.slot_of_byte[None, :] * self.stride
+            + np.arange(n_blocks)[:, None]
         )
         h = ZetaCodec.from_zeta(hi[idx], 16)
         l = ZetaCodec.from_zeta(lo[idx], 16)

@@ -80,8 +80,12 @@ class CkksContext:
         self.L = p.n_limbs
         self.K = p.n_special
 
-        # --- device twiddle tables over the full basis Q*P -----------------
-        self.tables = build_ntt_tables(p.all_primes, p.logn)
+        # --- twiddle tables over the full basis Q*P ------------------------
+        # Kept as numpy: row subsets are lru-cached and may first be built
+        # inside a jit trace, where jnp slicing would leak tracers; numpy
+        # arrays enter traced computations as constants.
+        t = build_ntt_tables(p.all_primes, p.logn)
+        self.tables = NttTables(*(np.asarray(x) for x in t))
 
         # --- per-prime Montgomery constants (numpy, sliced per level) ------
         mc = mont_constants(p.all_primes)
@@ -113,6 +117,10 @@ class CkksContext:
         # --- Galois permutation cache --------------------------------------
         self._perm_cache: dict[int, jnp.ndarray] = {}
 
+        # --- per-limb-count jitted compound kernels ------------------------
+        self._ks_jit: dict[int, object] = {}
+        self._rs_jit: dict[int, object] = {}
+
         # --- keys -----------------------------------------------------------
         self._rng = np.random.default_rng(seed)
         self.keys = self._keygen()
@@ -143,19 +151,19 @@ class CkksContext:
             ninv=t.ninv[idx],
             q=t.q[idx],
             q_neg_inv=t.q_neg_inv[idx],
-        )
+        )  # numpy slices: trace-safe constants
 
     def _tab(self, l: int) -> NttTables:
         return self._tables_rows(tuple(range(l)))
 
     @functools.lru_cache(maxsize=None)
     def _qrows(self, rows: tuple[int, ...]):
-        """(q, q_neg_inv, r2) jnp arrays shaped [len(rows), 1]."""
+        """(q, q_neg_inv, r2) numpy u32 arrays shaped [len(rows), 1]."""
         idx = np.asarray(rows, np.int64)
         return (
-            jnp.asarray(self._q_np[idx])[:, None],
-            jnp.asarray(self._qinv_np[idx])[:, None],
-            jnp.asarray(self._r2_np[idx])[:, None],
+            self._q_np[idx][:, None],
+            self._qinv_np[idx][:, None],
+            self._r2_np[idx][:, None],
         )
 
     def _ql(self, l: int):
@@ -244,11 +252,11 @@ class CkksContext:
         return pow(5, (-delta) % p.n_slots, p.two_n)
 
     @functools.lru_cache(maxsize=None)
-    def _galois_perm(self, g: int) -> jnp.ndarray:
+    def _galois_perm(self, g: int) -> np.ndarray:
         e = self._e_map
         perm = self._inv_e[(e * g) % self.params.two_n]
         assert (perm >= 0).all()
-        return jnp.asarray(perm, jnp.int32)
+        return perm.astype(np.int32)  # numpy: trace-safe constant
 
     # ------------------------------------------------------------------
     # keygen
@@ -549,25 +557,44 @@ class CkksContext:
         d = l - 1
         assert d >= self.params.n_base, "rescale would eat the base modulus"
         qd = self.params.moduli[d]
-        rest_rows = tuple(range(d))
+        if d not in self._rs_jit:
+            self._rs_jit[d] = jax.jit(
+                functools.partial(self._rescale_impl, d=d)
+            )
+        out = self._rs_jit[d](ct.data)
+        return Ciphertext(data=out, scale=ct.scale / qd, ntt=True)
+
+    def _rescale_impl(self, data: jnp.ndarray, d: int) -> jnp.ndarray:
+        qd = self.params.moduli[d]
         q, qi, _ = self._ql(d)
         mu = jnp.asarray(self._mu_np[:d])[:, None]
         qmod = jnp.asarray(self._qmod[d, :d])[:, None]
         invq = jnp.asarray(self._invq_mont[d, :d])[:, None]
-        last = intt(ct.data[..., d : d + 1, :], self._tables_rows((d,)))
+        last = intt(data[..., d : d + 1, :], self._tables_rows((d,)))
         half = jnp.uint32((qd + 1) // 2)
         r = barrett_reduce(last, q, mu)
         r = jnp.where(last >= half, sub_mod(r, qmod, q), r)
         r_ntt = ntt(r, self._tab(d))
-        out = mont_mul(sub_mod(ct.data[..., :d, :], r_ntt, q), invq, q, qi)
-        return Ciphertext(data=out, scale=ct.scale / qd, ntt=True)
+        return mont_mul(sub_mod(data[..., :d, :], r_ntt, q), invq, q, qi)
 
     # -- key switching ---------------------------------------------------
     def _keyswitch(self, a: jnp.ndarray, ksk: jnp.ndarray, l: int):
         """Hybrid key switch of a single poly a [..., l, N] (NTT) with key
-        ksk [J, 2, L+K, N].  Returns (d0, d1) over Q_l, NTT domain."""
-        p = self.params
+        ksk [J, 2, L+K, N].  Returns (d0, d1) over Q_l, NTT domain.
+
+        Jitted per limb count: the key switch is by far the most frequent
+        compound kernel (every relinearize / rotate / conjugate), so it gets
+        its own compiled program instead of hundreds of eager dispatches.
+        """
         self.stats["keyswitch"] += 1
+        if l not in self._ks_jit:
+            self._ks_jit[l] = jax.jit(
+                functools.partial(self._keyswitch_impl, l=l)
+            )
+        return self._ks_jit[l](a, ksk)
+
+    def _keyswitch_impl(self, a: jnp.ndarray, ksk: jnp.ndarray, l: int):
+        p = self.params
         k = self.K
         ext_rows = self._rows_ext(l)
         t_ext = self._tables_rows(ext_rows)

@@ -12,7 +12,7 @@ Fast (approximate) base conversion follows the standard HEAAN/SEAL recipe:
 
 which reconstructs x + alpha*B for a small alpha < |B| — the overshoot is
 absorbed by the key-switch special modulus / rescale noise budget.  Rescaling
-uses an exact centered single-prime drop.
+is an exact centered single-prime drop (implemented in ckks/context.py).
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .modular import add_mod, sub_mod, mont_mul, barrett_reduce
 
-__all__ = ["ConvTables", "make_conv_tables", "base_convert", "rescale_last_limb"]
+__all__ = ["ConvTables", "make_conv_tables", "base_convert"]
 
 _R = 1 << 32
 
@@ -61,13 +61,16 @@ def make_conv_tables(src: tuple[int, ...], tgt: tuple[int, ...]) -> ConvTables:
             ghat_mod[i, t] = bhat % c * _R % c
     u32 = lambda xs: np.asarray(xs, np.uint32)
     neg_inv = lambda ps: u32([(-pow(p, -1, _R)) % _R for p in ps])
+    # numpy on purpose: these tables are lru-cached by callers and may be
+    # first materialized inside a jit trace — numpy constants are trace-safe,
+    # jnp ops there would leak tracers.
     return ConvTables(
-        ghat_inv=jnp.asarray(ghat_inv),
-        ghat_mod=jnp.asarray(ghat_mod),
-        src_q=jnp.asarray(u32(src)),
-        src_qinv=jnp.asarray(neg_inv(src)),
-        tgt_q=jnp.asarray(u32(tgt)),
-        tgt_qinv=jnp.asarray(neg_inv(tgt)),
+        ghat_inv=ghat_inv,
+        ghat_mod=ghat_mod,
+        src_q=u32(src),
+        src_qinv=neg_inv(src),
+        tgt_q=u32(tgt),
+        tgt_qinv=neg_inv(tgt),
     )
 
 
@@ -93,31 +96,3 @@ def base_convert(x: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
         term = mont_mul(y[..., i : i + 1, :], t.ghat_mod[i][:, None], tq, tqi)
         acc = term if acc is None else add_mod(acc, term, tq)
     return acc
-
-
-def rescale_last_limb(
-    x_rest: jnp.ndarray,
-    x_last: jnp.ndarray,
-    q_last: int,
-    rest_q: jnp.ndarray,
-    rest_qinv: jnp.ndarray,
-    rest_mu: jnp.ndarray,
-    q_last_mod: jnp.ndarray,
-    inv_q_last: jnp.ndarray,
-) -> jnp.ndarray:
-    """Exact centered rescale by the last prime, coefficient domain.
-
-    x_rest: [..., l-1, N] residues mod the remaining primes;
-    x_last: [..., 1, N] residue mod q_last.
-    Returns round-ish((x - [x]_{q_last}) / q_last) per remaining prime:
-        out_i = (x_i - centered(x_last) mod q_i) * q_last^{-1} mod q_i.
-    `q_last_mod` = q_last mod q_i [l-1]; `inv_q_last` = (q_last^{-1} mod q_i)*R.
-    """
-    q = rest_q[:, None]
-    qi = rest_qinv[:, None]
-    half = jnp.uint32((q_last + 1) // 2)
-    r = barrett_reduce(x_last, q, rest_mu[:, None])
-    # centered lift: subtract q_last (mod q_i) where x_last >= ceil(q_last/2)
-    r_c = sub_mod(r, q_last_mod[:, None], q)
-    r = jnp.where(x_last >= half, r_c, r)
-    return mont_mul(sub_mod(x_rest, r, q), inv_q_last[:, None], q, qi)

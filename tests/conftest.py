@@ -24,6 +24,10 @@ import jax
 # virtual CPU mesh (and to local, fast XLA compiles).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persist compiled executables across test runs (compiles dominate runtime on
+# this stack).
+jax.config.update("jax_compilation_cache_dir", "/tmp/aes_fhe_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 @pytest.fixture(scope="session")

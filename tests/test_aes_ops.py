@@ -1,0 +1,116 @@
+"""Per-op plaintext-differential tests for the homomorphic AES layer.
+
+The reference ran exactly this pattern in per-module __main__ harnesses
+(SURVEY.md section 4): encrypt a seeded random state, apply the homomorphic
+op, decode, compare *exactly* against the plain NumPy model."""
+
+import numpy as np
+import pytest
+
+from aes_fhe_tpu.params import make_params
+from aes_fhe_tpu.ckks import CkksContext
+from aes_fhe_tpu.aes import reference as R
+from aes_fhe_tpu.aes.state import StateEncoder
+from aes_fhe_tpu.aes.ops import (
+    Xor4,
+    SubBytes,
+    ShiftRows,
+    MixColumns,
+    InvMixColumns,
+    Snap,
+    rotation_steps_required,
+)
+
+
+@pytest.fixture(scope="module")
+def actx():
+    params = make_params(logn=8, n_level_primes=30, dnum=3)
+    stride = params.n_slots // 16
+    ctx = CkksContext(
+        params,
+        seed=7,
+        rotations=tuple(rotation_steps_required(stride)),
+        conjugation=True,
+    )
+    return ctx
+
+
+@pytest.fixture(scope="module")
+def enc(actx):
+    return StateEncoder(actx)
+
+
+def _states(rng, enc):
+    return rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
+
+
+def test_xor4_addroundkey(actx, enc, rng):
+    xor4 = Xor4(actx)
+    a = _states(rng, enc)
+    b = _states(rng, enc)
+    ca, cb = enc.encrypt(a), enc.encrypt(b)
+    out_hi = xor4(ca[0], cb[0])
+    out_lo = xor4(ca[1], cb[1])
+    got = enc.decrypt(out_hi, out_lo, n_blocks=enc.batch)
+    np.testing.assert_array_equal(got, a ^ b)
+
+
+def test_shift_rows_and_inverse(actx, enc, rng):
+    sr = ShiftRows(actx, enc.stride, inverse=False)
+    isr = ShiftRows(actx, enc.stride, inverse=True)
+    s = _states(rng, enc)
+    ct = enc.encrypt(s)
+    got = enc.decrypt(*sr(ct), n_blocks=enc.batch)
+    want = np.stack([R.shift_rows(row) for row in s])
+    np.testing.assert_array_equal(got, want)
+    # Inv o Shift == Id (reference: inv_shiftrows.py:104-106)
+    got2 = enc.decrypt(*isr(sr(ct)), n_blocks=enc.batch)
+    np.testing.assert_array_equal(got2, s)
+
+
+def test_sub_bytes(actx, enc, rng):
+    sb = SubBytes(actx, inverse=False)
+    s = _states(rng, enc)
+    ct = enc.encrypt(s)
+    got = enc.decrypt(*sb(*ct), n_blocks=enc.batch)
+    np.testing.assert_array_equal(got, R.SBOX[s])
+
+
+def test_inv_sub_bytes(actx, enc, rng):
+    isb = SubBytes(actx, inverse=True)
+    s = _states(rng, enc)
+    ct = enc.encrypt(s)
+    got = enc.decrypt(*isb(*ct), n_blocks=enc.batch)
+    np.testing.assert_array_equal(got, R.INV_SBOX[s])
+
+
+def test_mix_columns(actx, enc, rng):
+    xor4 = Xor4(actx)
+    mc = MixColumns(actx, xor4, enc.stride)
+    s = _states(rng, enc)
+    ct = enc.encrypt(s)
+    got = enc.decrypt(*mc(ct), n_blocks=enc.batch)
+    want = np.stack([R.mix_columns(row) for row in s])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_inv_mix_columns(actx, enc, rng):
+    xor4 = Xor4(actx)
+    imc = InvMixColumns(actx, xor4, enc.stride)
+    s = _states(rng, enc)
+    ct = enc.encrypt(s)
+    got = enc.decrypt(*imc(ct), n_blocks=enc.batch)
+    want = np.stack([R.inv_mix_columns(row) for row in s])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_snap_preserves_codewords(actx, enc, rng):
+    snap = Snap(actx)
+    s = _states(rng, enc)
+    ct = enc.encrypt(s)
+    out = snap.pair(ct)
+    got = enc.decrypt(*out, n_blocks=enc.batch)
+    np.testing.assert_array_equal(got, s)
+    # snap should leave codewords essentially on the unit circle
+    vals = actx.decrypt_values(out[0])
+    np.testing.assert_allclose(np.abs(vals), 1.0, atol=1e-4)
