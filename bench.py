@@ -62,13 +62,18 @@ def main() -> None:
     kt = enc.encrypt(keys)
     log(f"encrypt inputs: {time.time()-t0:.1f}s")
 
-    step = jax.jit(_ark_step_fn(ctx, ct[0]))
+    # NOTE: no whole-step jit here — that would inline the key material as
+    # XLA constants (a ~57 MB program that OOM-kills the remote TPU
+    # compiler).  The heavy compound kernels (key switch, rescale) are
+    # already jitted per limb count *with keys as arguments*; the glue ops
+    # dispatch eagerly.
+    step = _ark_step_fn(ctx, ct[0])
     args = (ct[0].data, ct[1].data, kt[0].data, kt[1].data)
 
     t0 = time.time()
     out = step(*args)
     jax.block_until_ready(out)
-    log(f"compile+first run: {time.time()-t0:.1f}s")
+    log(f"warmup (compiles): {time.time()-t0:.1f}s")
 
     times = []
     for _ in range(5):
