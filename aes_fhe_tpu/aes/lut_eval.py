@@ -131,11 +131,12 @@ def _choose_drop(
     l_work: int,
     delta_out: Fraction,
     s_max: Fraction,
+    min_bits: int = MIN_COEFF_SCALE_BITS,
 ) -> tuple[int, Fraction]:
     """Smallest rescale count whose pre-rescale scale S_pre = delta_out *
-    prod(dropped primes) gives every coefficient at least
-    MIN_COEFF_SCALE_BITS bits of scale."""
-    need = Fraction(1 << MIN_COEFF_SCALE_BITS)
+    prod(dropped primes) gives every coefficient at least ``min_bits`` bits
+    of scale."""
+    need = Fraction(1 << min_bits)
     s_pre = delta_out
     for k in range(0, l_work - ctx.params.n_base):
         if s_pre / s_max >= need:
@@ -150,6 +151,7 @@ def eval_lut_2d(
     basis_x: list[Ciphertext | None],
     basis_y: list[Ciphertext | None],
     delta_out: Fraction | None = None,
+    min_coeff_scale_bits: int = MIN_COEFF_SCALE_BITS,
 ) -> Ciphertext:
     """sum_{p,q} coeffs[p,q] * X_p * Y_q with X_0 = Y_0 = 1.
 
@@ -181,7 +183,9 @@ def eval_lut_2d(
         for q in range(Q)
         if nz[p, q]
     )
-    n_drop, s_pre = _choose_drop(ctx, l_work, delta_out, s_max)
+    n_drop, s_pre = _choose_drop(
+        ctx, l_work, delta_out, s_max, min_coeff_scale_bits
+    )
 
     def al(c: Ciphertext) -> Ciphertext:
         return ctx.drop_limbs(c, c.n_limbs - l_work)

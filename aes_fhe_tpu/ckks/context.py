@@ -72,8 +72,10 @@ class CkksContext:
         seed: int = 0,
         rotations: tuple[int, ...] = (),
         conjugation: bool = True,
+        secret_hamming: int | None = None,
     ):
         self.params = params
+        self.secret_hamming = secret_hamming
         self.encoder = Encoder(params)
         p = params
         self.n_all = len(p.all_primes)
@@ -141,8 +143,17 @@ class CkksContext:
         """Row indices for the extended basis Q_l * P."""
         return tuple(range(l)) + tuple(range(self.L, self.n_all))
 
-    @functools.lru_cache(maxsize=None)
     def _tables_rows(self, rows: tuple[int, ...]) -> NttTables:
+        if isinstance(self.tables.psi, np.ndarray):
+            return self._tables_rows_np(rows)
+        # traced state (see jit_fn): tables are tracers, gather rows in-graph
+        idx = jnp.asarray(rows, jnp.int32)
+        return NttTables(
+            *(jnp.take(x, idx, axis=0) for x in self.tables)
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def _tables_rows_np(self, rows: tuple[int, ...]) -> NttTables:
         idx = np.asarray(rows, np.int64)
         t = self.tables
         return NttTables(
@@ -268,7 +279,7 @@ class CkksContext:
 
     def _keygen(self) -> KeySet:
         p = self.params
-        raw = sample_keys_host(p, self._rng)
+        raw = sample_keys_host(p, self._rng, self.secret_hamming)
         all_rows = tuple(range(self.n_all))
         q, qi, r2 = self._qrows(all_rows)
 
@@ -552,6 +563,29 @@ class CkksContext:
             ct = self._rescale_one(ct)
         return ct
 
+    def to_scale(self, ct: Ciphertext, target: Fraction) -> Ciphertext:
+        """Bring the declared scale close to ``target`` (within ~2^-21
+        relative) by one scalar multiply + rescale(s).
+
+        The integer multiplier a = round(target * prod(drops) / scale) is
+        chosen first and the scalar declared at scale exactly Fraction(a),
+        so the operation itself is exact; only the final scale misses
+        ``target`` by the (tracked!) ratio a/(target*prod/scale).  Needed
+        wherever scales wander far from the working scale (bootstrap) —
+        large scale excess amplifies through power bases.
+        """
+        if ct.scale == target:
+            return ct
+        s_adj = target / ct.scale
+        k = 0
+        while s_adj < (1 << 20):
+            k += 1
+            assert ct.n_limbs - k >= self.params.n_base
+            s_adj = s_adj * self.params.moduli[ct.n_limbs - k]
+        a = max(1, int(round(float(s_adj))))
+        out = self.mul_scalar(ct, 1.0, Fraction(a))
+        return self.rescale(out, k)
+
     def _rescale_one(self, ct: Ciphertext) -> Ciphertext:
         l = ct.n_limbs
         d = l - 1
@@ -628,6 +662,61 @@ class CkksContext:
         q, qi, _ = self._ql(l)
         pinv = jnp.asarray(self._pinv_mont[:l])[:, None]
         return mont_mul(sub_mod(x[..., :l, :], conv, q), pinv, q, qi)
+
+    # -- whole-program jit with state as arguments ------------------------
+    def traced_state(self):
+        """The large device arrays a jitted program must receive as
+        *arguments* (inlining them as XLA constants produces multi-GB
+        programs that kill the TPU compiler): twiddle tables, the X^{N/2}
+        fast-path vector, and all key material."""
+        return {
+            "tables": NttTables(*(jnp.asarray(x) for x in self.tables)),
+            "pnh": self._pnh_mont,
+            "keys": {
+                "secret_mont": self.keys.secret_mont,
+                "secret_ntt": self.keys.secret_ntt,
+                "pk": self.keys.pk,
+                "relin": self.keys.relin,
+                "galois": dict(self.keys.galois),
+            },
+        }
+
+    def _swap_state(self, st):
+        old = (self.tables, self._pnh_mont, self.keys)
+        self.tables = st["tables"]
+        self._pnh_mont = st["pnh"]
+        k = st["keys"]
+        self.keys = KeySet(
+            secret_mont=k["secret_mont"],
+            secret_ntt=k["secret_ntt"],
+            pk=k["pk"],
+            relin=k["relin"],
+            galois=k["galois"],
+        )
+        return old
+
+    def _restore_state(self, old):
+        self.tables, self._pnh_mont, self.keys = old
+
+    def jit_fn(self, fn):
+        """jax.jit a function of Ciphertext/array pytrees that internally
+        uses this context's verbs.  Keys and twiddle tables are threaded as
+        arguments so the compiled program contains no huge constants."""
+        state = self.traced_state()
+
+        def wrapped(st, *args, **kwargs):
+            old = self._swap_state(st)
+            try:
+                return fn(*args, **kwargs)
+            finally:
+                self._restore_state(old)
+
+        jitted = jax.jit(wrapped)
+
+        def call(*args, **kwargs):
+            return jitted(state, *args, **kwargs)
+
+        return call
 
     # -- automorphisms ----------------------------------------------------
     def rotate(self, ct: Ciphertext, delta: int) -> Ciphertext:

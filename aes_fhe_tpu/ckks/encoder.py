@@ -105,7 +105,11 @@ class Encoder:
     def residues_to_values(
         self, residues: np.ndarray, primes, scale: Fraction
     ) -> np.ndarray:
-        centered = self.crt_centered(residues, primes)
-        inv = 1.0 / scale
-        m = np.array([float(Fraction(int(c)) * inv) for c in centered])
+        from ..native import crt_centered_to_double
+
+        m = crt_centered_to_double(residues, primes, float(1 / scale))
+        if m is None:  # pure-Python fallback
+            centered = self.crt_centered(residues, primes)
+            inv = 1.0 / scale
+            m = np.array([float(Fraction(int(c)) * inv) for c in centered])
         return self.coeffs_to_values(m)

@@ -55,6 +55,17 @@ def _ternary_coeffs(rng: np.random.Generator, n: int) -> np.ndarray:
     return rng.integers(-1, 2, size=n).astype(np.int64)
 
 
+def _sparse_ternary_coeffs(
+    rng: np.random.Generator, n: int, h: int
+) -> np.ndarray:
+    """Ternary secret with Hamming weight h (standard for bootstrappable
+    CKKS: EvalMod's range bound K scales with sqrt(h))."""
+    s = np.zeros(n, np.int64)
+    idx = rng.choice(n, size=h, replace=False)
+    s[idx] = rng.choice([-1, 1], size=h)
+    return s
+
+
 def small_poly_residues(coeffs: np.ndarray, primes) -> np.ndarray:
     """Signed small integer coeffs [N] -> u32 residues [len(primes), N]."""
     out = np.empty((len(primes), coeffs.shape[0]), np.uint32)
@@ -89,7 +100,9 @@ def gadget_residues(params: CkksParams) -> np.ndarray:
 
 
 def sample_keys_host(
-    params: CkksParams, rng: np.random.Generator
+    params: CkksParams,
+    rng: np.random.Generator,
+    secret_hamming: int | None = None,
 ) -> dict[str, np.ndarray]:
     """Host-side raw samples; the context finishes key construction on device
     (NTTs, products with s).  Returns coefficient-domain small polys and
@@ -98,7 +111,11 @@ def sample_keys_host(
     n_all = len(params.all_primes)
     J = len(params.groups)
     return {
-        "s_coeff": _ternary_coeffs(rng, n),
+        "s_coeff": (
+            _ternary_coeffs(rng, n)
+            if secret_hamming is None
+            else _sparse_ternary_coeffs(rng, n, secret_hamming)
+        ),
         "pk_a_ntt": uniform_ntt(rng, params.moduli, n),
         "pk_e_coeff": _gaussian_coeffs(rng, n),
         "rlk_a_ntt": np.stack(

@@ -25,7 +25,12 @@ import jax.numpy as jnp
 
 from .modular import add_mod, sub_mod, mont_mul, barrett_reduce
 
-__all__ = ["ConvTables", "make_conv_tables", "base_convert"]
+__all__ = [
+    "ConvTables",
+    "make_conv_tables",
+    "base_convert",
+    "base_convert_centered",
+]
 
 _R = 1 << 32
 
@@ -46,6 +51,7 @@ class ConvTables:
     src_qinv: jnp.ndarray
     tgt_q: jnp.ndarray
     tgt_qinv: jnp.ndarray
+    b_mod: jnp.ndarray       # [T] (B mod c_t) * R  (for the centered variant)
 
 
 def make_conv_tables(src: tuple[int, ...], tgt: tuple[int, ...]) -> ConvTables:
@@ -71,6 +77,7 @@ def make_conv_tables(src: tuple[int, ...], tgt: tuple[int, ...]) -> ConvTables:
         src_qinv=neg_inv(src),
         tgt_q=u32(tgt),
         tgt_qinv=neg_inv(tgt),
+        b_mod=u32([B % c * _R % c for c in tgt]),
     )
 
 
@@ -96,3 +103,33 @@ def base_convert(x: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
         term = mont_mul(y[..., i : i + 1, :], t.ghat_mod[i][:, None], tq, tqi)
         acc = term if acc is None else add_mod(acc, term, tq)
     return acc
+
+
+def base_convert_centered(x: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
+    """Exact-overshoot base conversion with centering (BEHZ-style).
+
+    The plain fast conversion returns x + alpha*B with alpha = floor(sum_i
+    y_i/b_i); estimating round(sum y_i/b_i) in float and subtracting that
+    many B yields the *centered* representative in [-B/2, B/2) — the variant
+    bootstrapping's ModRaise needs to keep the EvalMod range budget tight.
+    A coefficient within float-epsilon of the +-B/2 boundary may land one B
+    off, which EvalMod's periodicity absorbs.
+    """
+    m = x.shape[-2]
+    y = mont_mul(
+        x, t.ghat_inv[:, None], t.src_q[:, None], t.src_qinv[:, None]
+    )
+    tq = t.tgt_q[:, None]
+    tqi = t.tgt_qinv[:, None]
+    acc = None
+    af = None
+    for i in range(m):
+        term = mont_mul(y[..., i : i + 1, :], t.ghat_mod[i][:, None], tq, tqi)
+        acc = term if acc is None else add_mod(acc, term, tq)
+        f = y[..., i : i + 1, :].astype(jnp.float32) / np.float32(
+            int(t.src_q[i])
+        )
+        af = f if af is None else af + f
+    corr = jnp.round(af).astype(jnp.uint32)      # [..., 1, N]
+    corr_b = mont_mul(corr, t.b_mod[:, None], tq, tqi)
+    return sub_mod(acc, corr_b, tq)

@@ -62,11 +62,10 @@ def main() -> None:
     kt = enc.encrypt(keys)
     log(f"encrypt inputs: {time.time()-t0:.1f}s")
 
-    # NOTE: no whole-step jit here — that would inline the key material as
-    # XLA constants (a ~57 MB program that OOM-kills the remote TPU
-    # compiler).  The heavy compound kernels (key switch, rescale) are
-    # already jitted per limb count *with keys as arguments*; the glue ops
-    # dispatch eagerly.
+    # The remote TPU compiler in this environment is resource-capped and
+    # kills whole-step programs (~35k ops) even with keys threaded as
+    # arguments via ctx.jit_fn.  The compound kernels (key switch, rescale)
+    # are jitted per limb count with keys as args; glue dispatches eagerly.
     step = _ark_step_fn(ctx, ct[0])
     args = (ct[0].data, ct[1].data, kt[0].data, kt[1].data)
 
