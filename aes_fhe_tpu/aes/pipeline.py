@@ -46,6 +46,7 @@ __all__ = ["SnapPolicy", "AES128"]
 class SnapPolicy(enum.Enum):
     NONE = "none"
     POLY = "poly"
+    BOOTSTRAP = "bootstrap"        # full refresh + snap (no secret key)
     DEBUG_RENORM = "debug_renorm"  # secret-key crutch; test-only
 
 
@@ -66,9 +67,15 @@ class AES128:
         self,
         ctx: CkksContext,
         policy: SnapPolicy = SnapPolicy.POLY,
+        bootstrapper=None,
     ):
         self.ctx = ctx
         self.policy = policy
+        if policy is SnapPolicy.BOOTSTRAP and bootstrapper is None:
+            from ..ckks.bootstrap import Bootstrapper
+
+            bootstrapper = Bootstrapper(ctx)
+        self.bootstrapper = bootstrapper
         self.encoder = StateEncoder(ctx)
         self.xor4 = Xor4(ctx)
         self.ark = AddRoundKey(self.xor4)
@@ -97,6 +104,12 @@ class AES128:
 
     def _stabilize(self, state: CtPair, debug: dict | None, tag: str) -> CtPair:
         if self.policy is SnapPolicy.POLY:
+            state = self.snap.pair(state)
+        elif self.policy is SnapPolicy.BOOTSTRAP:
+            state = (
+                self.bootstrapper(state[0]),
+                self.bootstrapper(state[1]),
+            )
             state = self.snap.pair(state)
         elif self.policy is SnapPolicy.DEBUG_RENORM:
             n = self.encoder.batch

@@ -4,26 +4,28 @@ The reference delegated bootstrapping entirely to the closed engine
 (engine_context.py:147-162) and triggered it from exception ladders; here it
 is an explicit, statically-scheduled pipeline over this engine's own verbs:
 
-1. **ModRaise** — re-read the base-modulus residues (B = product of the
-   n_base primes) as integers and fast-base-extend them to the full chain:
-   the ciphertext now decrypts to u = m~ + B*I with |I| <~ O(sqrt(h)) for a
-   Hamming-weight-h secret.  The conversion overshoot (+alpha*B, alpha < 3)
-   just shifts I.
+1. **Rebase + ModRaise** — the input is first brought to the small bootstrap
+   scale Delta_b (~2^20) so the message fits a SINGLE ~30-bit prime q0 with a
+   small ratio Delta_b/q0 ~ 2^-10 (sub-31-bit limbs cannot hold the working
+   scale 2^58 — the classic 32-bit-RNS bootstrap constraint).  The q0
+   residues are then read as centered integers and extended to the full
+   chain: the ciphertext decrypts to u = m~ + q0*I, |I| <~ O(sqrt(h)) for a
+   Hamming-weight-h secret (exact centering: single-source conversion has no
+   overshoot).
 2. **CoeffToSlot** — inverse homomorphic DFT (ckks/dft.py) onto the packed
-   layout z[s] = u_A[s] - i*u_B[s]; declared-scale relabeling to B makes the
-   slot values u/B directly (scale is just the decode divisor).
+   layout z[s] = u_A[s] - i*u_B[s]; relabeling the declared scale to q0
+   makes the slot values u/q0 directly (scale is just the decode divisor).
 3. **EvalMod** — centered fractional part via the complex exponential:
-   evaluate a short Taylor series of exp(2*pi*i*(t - K/2)/2^r) (range <=
-   ~0.35 rad, degree ~12, monomial basis is well-conditioned there), square
-   r times to reach exp(2*pi*i*t) — periodicity in t kills the B*I part —
-   and take the imaginary part: frac_c(t) = sin(2*pi*t)/(2*pi).  Applied to
-   the two conjugation-split real vectors.
-4. **SlotToCoeff** — forward DFT stages on t0 - i*t1; a final scale
-   relabeling by orig_scale/B turns u/B values back into the message.
+   a short Taylor series of exp(2*pi*i*t/2^r) (range <= ~0.35 rad, degree
+   ~12 — the monomial basis is well-conditioned there), squared r times to
+   exp(2*pi*i*t) (periodicity kills q0*I), then an arcsin-corrected
+   imaginary part:  x ~ s + (2pi)^2 s^3/6,  s = sin(2pi t)/(2pi), evaluated
+   from z and z^3 directly.  Applied to both conjugation-split real vectors.
+4. **SlotToCoeff** — forward DFT stages on t0 - i*t1; a final relabel by
+   Delta_b/q0 restores message semantics.
 
-Output precision is ~ scale * orig_scale / B (~2^25 for Delta=2^58, 3 base
-primes) — standard CKKS bootstrap behavior; the AES pipeline's snap
-polynomial re-anchors codewords right after.
+Output precision ~2^-24 (quantization of Delta_b plus EvalMod residuals);
+the AES pipeline's snap polynomial re-anchors codewords right after.
 """
 
 from __future__ import annotations
@@ -32,7 +34,6 @@ import math
 from fractions import Fraction
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..core.rns import make_conv_tables, base_convert_centered
 from ..core.ntt import ntt, intt
@@ -57,59 +58,70 @@ class Bootstrapper:
         taylor_deg: int = 12,
         K: int | None = None,
         theta_max: float = 0.35,
+        boot_scale_bits: int = 20,
+        c2s_diag_bits: int = 40,
     ):
         self.ctx = ctx
         p = ctx.params
         h = ctx.secret_hamming or (2 * p.n) // 3
         if K is None:
-            # centered ModRaise: per-coefficient spread sigma ~ sqrt(h/12)*B
-            bound = 6.0 * math.sqrt(h / 12.0) + 3.0
-            K = max(16, 1 << math.ceil(math.log2(2.0 * bound)))
+            # centered ModRaise: per-coefficient spread sigma ~ sqrt(h/12)*q0
+            bound = 4.5 * math.sqrt(h / 12.0) + 3.0
+            K = max(8, 1 << math.ceil(math.log2(bound)))
         assert K % 2 == 0
         self.K = K
         # symmetric range |t| <= K/2: phase 2*pi*(K/2+1)/2^r <= theta_max
         self.r = math.ceil(math.log2(2 * math.pi * (K / 2 + 1) / theta_max))
         self.taylor_deg = taylor_deg
+        self.boot_scale = Fraction(1 << boot_scale_bits)
 
         fwd = merge_stage_ops(s2c_stage_ops(p.n), group)
         inv = merge_stage_ops(c2s_stage_ops(p.n), group)
         self.s2c = HomDft(ctx, fwd)
-        self.c2s = HomDft(ctx, inv)
+        # C2S feeds EvalMod: its absolute output error multiplies by q0/Delta_b,
+        # so its diagonals carry extra precision.
+        self.c2s = HomDft(ctx, inv, diag_scale_bits=c2s_diag_bits)
         rots = stage_offsets(fwd, p.n_slots) | stage_offsets(inv, p.n_slots)
         ctx.add_galois_keys(
             [ctx.galois_element_for_rotation(d) for d in sorted(rots)]
             + [p.two_n - 1]
         )
 
-        self._b = math.prod(p.moduli[: p.n_base])
-        self._mr_conv = make_conv_tables(
-            p.moduli[: p.n_base], p.moduli
-        )
+        self._q0 = p.moduli[0]
+        self._mr_conv = make_conv_tables((self._q0,), p.moduli)
 
     # ------------------------------------------------------------------
     def mod_raise(self, ct: Ciphertext) -> Ciphertext:
-        """Base residues -> full chain; declared scale becomes B so slot
-        values read u/B."""
+        """q0 residues -> full chain; declared scale becomes q0 so slot
+        values read u/q0.  Expects ct at the bootstrap scale."""
         ctx = self.ctx
         p = ctx.params
-        nb = p.n_base
-        ct = ctx.drop_limbs(ct, ct.n_limbs - nb)
-        coeff = intt(ct.data, ctx._tab(nb))
+        ct = ctx.drop_limbs(ct, ct.n_limbs - 1)
+        coeff = intt(ct.data, ctx._tab(1))
         ext = base_convert_centered(coeff, self._mr_conv)  # [2, L, N]
         data = ntt(ext, ctx._tab(p.n_limbs))
-        return Ciphertext(data=data, scale=Fraction(self._b), ntt=True)
+        raised = Ciphertext(data=data, scale=Fraction(self._q0), ntt=True)
+        # Boost by an exact integer constant to ~the working scale: at the
+        # raw scale q0 ~ 2^30 the engine noise floor (~2^10) would sit at
+        # 2^-20 of t and get amplified by q0/Delta_b into the message.  An
+        # integer scalar multiply is exact and costs no level.
+        boost = max(1, round(p.scale / self._q0))
+        return ctx.mul_scalar(raised, 1.0, Fraction(boost))
 
     def eval_frac(self, t_ct: Ciphertext) -> Ciphertext:
-        """Slots hold real t in (-K/2, K/2); returns slots frac_c(t) =
-        sin(2*pi*t)/(2*pi) (value in [-1/2, 1/2])."""
+        """Slots hold real t in (-K/2, K/2); returns the arcsin-corrected
+        centered fractional part of t."""
         from ..aes.lut_eval import build_power_basis, eval_lut_2d
 
         ctx = self.ctx
-        # ModRaise is centered, so t is already symmetric around 0.
         c = 2j * math.pi / (1 << self.r)
-        w = ctx.rescale(
-            ctx.mul_scalar(t_ct, c, Fraction(1 << 29)), 1
-        )
+        # encode the phase constant so w lands at exactly the working scale
+        # (any excess would amplify through the Taylor power basis)
+        l = t_ct.n_limbs
+        p = ctx.params
+        drops = p.moduli[l - 1] * p.moduli[l - 2]
+        s_c = Fraction(p.scale) * drops / t_ct.scale
+        w = ctx.rescale(ctx.mul_scalar(t_ct, c, s_c), 2)
         basis = build_power_basis(
             ctx, w, set(range(2, self.taylor_deg + 1))
         )
@@ -124,24 +136,33 @@ class Bootstrapper:
         )
         for _ in range(self.r):
             z = ctx.multiply(z, z, drop=2)
-        # frac = Im(z)/(2*pi) = (z - conj(z)) * (-i / (4*pi))
-        zc = ctx.conjugate(z)
-        d = ctx.sub(z, zc)
-        out = ctx.mul_scalar(d, -0.25j / math.pi, Fraction(1 << 29))
-        return ctx.rescale(out, 1)
+
+        # arcsin correction: x ~ s + (2pi)^2/6 * s^3, s = (z - zbar)/(4*pi*i),
+        # s^3 = ((z^3 - zbar^3) - 3(z - zbar)) / (4*pi*i)^3
+        #  => x ~ a*(z - zbar) + b*(z^3 - zbar^3),
+        #     a = -9i/(32*pi),  b = +i/(96*pi)
+        # (verified numerically: residual ~1e-9 on the working range)
+        z3 = ctx.multiply(ctx.multiply(z, z, drop=2), z, drop=2)
+        d1 = ctx.sub(z, ctx.conjugate(z))
+        d3 = ctx.sub(z3, ctx.conjugate(z3))
+        l = min(d1.n_limbs, d3.n_limbs)
+        d1 = ctx.drop_limbs(d1, d1.n_limbs - l)
+        d3 = ctx.drop_limbs(d3, d3.n_limbs - l)
+        target = max(d1.scale, d3.scale) * Fraction(1 << 30)
+        t1 = ctx.mul_scalar(d1, -9j / (32 * math.pi), target / d1.scale)
+        t3 = ctx.mul_scalar(d3, 1j / (96 * math.pi), target / d3.scale)
+        return ctx.rescale(ctx.add(t1, t3), 1)
 
     # ------------------------------------------------------------------
     def __call__(self, ct: Ciphertext) -> Ciphertext:
-        """Refresh: same message, high level.  Requires |values| small enough
-        that m~ = scale*value fits well under B (scale/B <= ~2^-30)."""
+        """Refresh: same message, high level."""
         ctx = self.ctx
-        orig_scale = ct.scale
         ctx.stats["bootstrap"] += 1
 
+        ct = ctx.to_scale(ct, self.boot_scale)
+        orig_scale = ct.scale  # ~Delta_b (exact tracked value)
+
         raised = self.mod_raise(ct)
-        # C2S output inherits the huge ModRaise scale ~B; rebase near Delta
-        # or every Taylor power would amplify the ~2^33 scale excess and
-        # blow the coefficient-encoding budget.
         z = ctx.to_scale(self.c2s(raised), Fraction(ctx.params.scale))
 
         # conjugation split: z = t0 - i*t1 with t0, t1 real
@@ -165,5 +186,5 @@ class Bootstrapper:
         z2 = ctx.rescale(ctx.add(a, b), 1)
 
         out = self.s2c(z2)
-        new_scale = out.scale * orig_scale / Fraction(self._b)
+        new_scale = out.scale * orig_scale / Fraction(self._q0)
         return Ciphertext(data=out.data, scale=new_scale, ntt=True)

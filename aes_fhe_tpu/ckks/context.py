@@ -578,9 +578,11 @@ class CkksContext:
             return ct
         s_adj = target / ct.scale
         k = 0
-        while s_adj < (1 << 20):
+        while s_adj < (1 << 18):
             k += 1
-            assert ct.n_limbs - k >= self.params.n_base
+            assert ct.n_limbs - k >= self.params.n_base, (
+                "to_scale: not enough limbs above the base"
+            )
             s_adj = s_adj * self.params.moduli[ct.n_limbs - k]
         a = max(1, int(round(float(s_adj))))
         out = self.mul_scalar(ct, 1.0, Fraction(a))
