@@ -665,6 +665,42 @@ class CkksContext:
         pinv = jnp.asarray(self._pinv_mont[:l])[:, None]
         return mont_mul(sub_mod(x[..., :l, :], conv, q), pinv, q, qi)
 
+    # -- reference-parity verbs ------------------------------------------
+    def make_power_basis(self, ct: Ciphertext, d: int) -> list[Ciphertext]:
+        """[ct^1 .. ct^d] — reference engine verb parity
+        (engine_context.py:100-101); the AES layer uses the sparser
+        coefficient-driven schedules in aes/lut_eval.py directly."""
+        from ..aes.lut_eval import build_power_basis
+
+        basis = build_power_basis(self, ct, set(range(1, d + 1)))
+        return [basis[k] for k in range(1, d + 1)]
+
+    def to_coeff(self, ct: Ciphertext) -> Ciphertext:
+        """NTT -> coefficient domain (reference to_intt,
+        engine_context.py:176-178)."""
+        if not ct.ntt:
+            return ct
+        from dataclasses import replace
+
+        return replace(
+            ct, data=intt(ct.data, self._tab(ct.n_limbs)), ntt=False
+        )
+
+    def to_eval(self, ct: Ciphertext) -> Ciphertext:
+        """Coefficient -> NTT domain (reference to_ntt)."""
+        if ct.ntt:
+            return ct
+        from dataclasses import replace
+
+        return replace(
+            ct, data=ntt(ct.data, self._tab(ct.n_limbs)), ntt=True
+        )
+
+    def bootstrap_stats(self) -> dict:
+        """Counter API parity with the reference's bootstrap accounting
+        (engine_context.py:165-170)."""
+        return dict(self.stats)
+
     # -- whole-program jit with state as arguments ------------------------
     def traced_state(self):
         """The large device arrays a jitted program must receive as

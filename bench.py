@@ -1,16 +1,17 @@
-"""Benchmark: homomorphic AES ops on the real TPU chip.
+"""Benchmark: homomorphic AES-128 on the real TPU chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
 
-Round-1 headline: AddRoundKey (one homomorphic state XOR round-key = two
-4-bit XOR bivariate LUT evaluations over a packed ciphertext pair) — the
-reference's benchmark config 1, published at 1.63 s on its CPU engine
-(reference: main.py:144-146, BASELINE.md).  ``vs_baseline`` is the speedup
-factor (reference_seconds / ours; > 1 means faster than the reference).
+Headline (default): seconds per full homomorphic AES-128 round
+(SubBytes -> ShiftRows -> MixColumns -> AddRoundKey on a packed ciphertext
+pair), the BASELINE.json metric.  Reference: ~810 s/round on its CPU engine
+(README.md:117).  ``vs_baseline`` is the speedup factor
+(reference_seconds / ours; > 1 means faster than the reference).
 
-The packed batch carries n_slots/16 AES blocks per ciphertext pair
-(2048 at N=2^16, exactly the reference's packing — main.py:121-136).
+Modes:  python bench.py [round|ark] [logn]
+  round : full forward round, default logn=15 (1024 AES blocks/ct pair)
+  ark   : AddRoundKey only (reference's 1.63 s microbenchmark, main.py:144)
 """
 
 from __future__ import annotations
@@ -30,42 +31,36 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main() -> None:
+def build(logn: int, n_level_primes: int):
     from aes_fhe_tpu.params import make_params
     from aes_fhe_tpu.ckks import CkksContext
     from aes_fhe_tpu.aes.state import StateEncoder
-    from aes_fhe_tpu.aes.ops import Xor4, rotation_steps_required
-    from __graft_entry__ import _ark_step_fn
-
-    logn = int(sys.argv[1]) if len(sys.argv) > 1 else 15
-    log(f"devices: {jax.devices()}")
+    from aes_fhe_tpu.aes.ops import rotation_steps_required
 
     t0 = time.time()
-    params = make_params(logn=logn, n_level_primes=14, dnum=3)
+    params = make_params(logn=logn, n_level_primes=n_level_primes, dnum=3)
     stride = params.n_slots // 16
     ctx = CkksContext(
-        params,
-        seed=7,
-        rotations=(),
-        conjugation=True,
+        params, seed=7, rotations=tuple(rotation_steps_required(stride))
     )
     enc = StateEncoder(ctx)
-    log(f"context+keygen: {time.time()-t0:.1f}s  "
-        f"(N=2^{logn}, L={params.n_limbs}, K={params.n_special}, "
-        f"batch={enc.batch} AES blocks/ct-pair)")
+    log(
+        f"context+keygen: {time.time()-t0:.1f}s  (N=2^{logn}, "
+        f"L={params.n_limbs}, K={params.n_special}, batch={enc.batch})"
+    )
+    return ctx, enc
 
+
+def bench_ark(logn: int):
+    from __graft_entry__ import _ark_step_fn
+    from aes_fhe_tpu.ckks.types import Ciphertext
+
+    ctx, enc = build(logn, 14)
     rng = np.random.default_rng(0)
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
     keys = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
-    t0 = time.time()
     ct = enc.encrypt(states)
     kt = enc.encrypt(keys)
-    log(f"encrypt inputs: {time.time()-t0:.1f}s")
-
-    # The remote TPU compiler in this environment is resource-capped and
-    # kills whole-step programs (~35k ops) even with keys threaded as
-    # arguments via ctx.jit_fn.  The compound kernels (key switch, rescale)
-    # are jitted per limb count with keys as args; glue dispatches eagerly.
     step = _ark_step_fn(ctx, ct[0])
     args = (ct[0].data, ct[1].data, kt[0].data, kt[1].data)
 
@@ -83,29 +78,84 @@ def main() -> None:
     t_med = float(np.median(times))
     log(f"times: {['%.3f' % t for t in times]}")
 
-    # correctness check (host decode of the first few blocks)
-    from aes_fhe_tpu.ckks.types import Ciphertext
-
     hi = Ciphertext(data=out[0], scale=ct[0].scale, ntt=True)
     lo = Ciphertext(data=out[1], scale=ct[0].scale, ntt=True)
     got = enc.decrypt(hi, lo, n_blocks=4)
-    want = states[:4] ^ keys[:4]
-    ok = bool(np.array_equal(got, want))
+    ok = bool(np.array_equal(got, states[:4] ^ keys[:4]))
     log(f"correctness (4 blocks): {ok}")
+    return {
+        "metric": "aes128_addroundkey_sec",
+        "value": t_med,
+        "unit": "s",
+        "vs_baseline": 1.63 / t_med,
+        "correct": ok,
+        "blocks_per_ct": enc.batch,
+    }
 
-    baseline = 1.63  # reference AddRoundKey seconds (main.py:144-146)
-    print(
-        json.dumps(
-            {
-                "metric": "aes128_addroundkey_sec",
-                "value": t_med,
-                "unit": "s",
-                "vs_baseline": baseline / t_med,
-                "correct": ok,
-                "blocks_per_ct": enc.batch,
-            }
-        )
+
+def bench_round(logn: int):
+    from aes_fhe_tpu.aes.pipeline import AES128, SnapPolicy
+    from aes_fhe_tpu.aes import reference as R
+
+    # one full forward round consumes 63 limbs (measured); 68 level primes
+    # leaves base + margin.  NOTE: logQP at these settings exceeds the
+    # 128-bit-security bound for this N — acceptable for a performance
+    # benchmark; production parameters use N=2^16 with bootstrapping.
+    ctx, enc = build(logn, 68)
+    pipe = AES128(ctx, policy=SnapPolicy.NONE)
+    rng = np.random.default_rng(0)
+    states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
+    key = np.arange(16, dtype=np.uint8)
+    rks = R.expand_aes128_key(key)
+    rk = pipe.prepare_round_keys(rks)
+
+    def one_round(ct):
+        ct = pipe.sub(*ct)
+        ct = pipe.shift(ct)
+        ct = pipe.mix(ct)
+        return pipe.ark(ct, rk[1])
+
+    ct0 = enc.encrypt(states)
+    t0 = time.time()
+    out = one_round(ct0)
+    jax.block_until_ready((out[0].data, out[1].data))
+    warm = time.time() - t0
+    log(f"warmup round (incl compiles): {warm:.1f}s")
+
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        out = one_round(ct0)
+        jax.block_until_ready((out[0].data, out[1].data))
+        times.append(time.time() - t0)
+    t_med = float(np.median(times))
+    log(f"round times: {['%.2f' % t for t in times]}")
+
+    got = pipe.decode(out, n_blocks=4)
+    want = np.stack(
+        [
+            R.add_round_key(R.mix_columns(R.shift_rows(R.sub_bytes(s))), rks[1])
+            for s in states[:4]
+        ]
     )
+    ok = bool(np.array_equal(got, want))
+    log(f"round correctness (4 blocks): {ok}")
+    return {
+        "metric": "aes128_round_sec",
+        "value": t_med,
+        "unit": "s",
+        "vs_baseline": 810.0 / t_med,
+        "correct": ok,
+        "blocks_per_ct": enc.batch,
+    }
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "round"
+    logn = int(sys.argv[2]) if len(sys.argv) > 2 else (15 if mode == "round" else 14)
+    log(f"devices: {jax.devices()}  mode={mode} logn={logn}")
+    result = bench_round(logn) if mode == "round" else bench_ark(logn)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

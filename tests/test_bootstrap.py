@@ -41,6 +41,10 @@ def test_mod_raise_value(bctx, booter, rng):
     )
     u = bctx.encoder.crt_centered(res, bctx.params.moduli[:l])
     q0 = booter._q0
+    # mod_raise boosts the raw data by an exact integer (noise-floor fix)
+    boost = max(1, round(bctx.params.scale / q0))
+    assert all(int(x) % boost == 0 for x in u[:8])
+    u = np.array([int(x) // boost for x in u], dtype=object)
     u_mod = np.array([int(x) % q0 for x in u], dtype=object)
     u_mod = np.where(u_mod > q0 // 2, u_mod - q0, u_mod)
     # centered residue mod q0 = message at ~2^20 scale + noise: small vs q0
