@@ -166,14 +166,18 @@ class ShiftRows:
     Rows are contiguous 4-blocks, so each row needs two masked global
     rotations (split at the wrap point); row 0 contributes a masked identity.
     Masks are stride-wide (block-batch safe — the reference's single-slot
-    masks, shift_rows.py:27-33, only handled one block per stride)."""
+    masks, shift_rows.py:27-33, only handled one block per stride).
+
+    TPU-first formulation: rot(m * ct) = rot(m) * rot(ct) (the automorphism
+    is a ring map), so masks are applied *after* rotation on destination
+    slots and every rotation acts on the SAME ciphertext — all six rotations
+    share one hoisted gadget decomposition (ctx.rotate_many)."""
 
     def __init__(self, ctx: CkksContext, stride: int, inverse: bool = False):
         self.ctx = ctx
         self.stride = stride
         n_slots = ctx.params.n_slots
-        # (mask plaintext, rotation amount) pairs
-        self.parts: list[tuple[Plaintext, int]] = []
+        full_limbs = ctx.params.n_limbs
 
         def block_mask(slot_indices: list[int]) -> np.ndarray:
             m = np.zeros(n_slots, np.complex128)
@@ -181,40 +185,33 @@ class ShiftRows:
                 m[i * stride : (i + 1) * stride] = 1.0
             return m
 
-        full_limbs = ctx.params.n_limbs
+        # delta -> destination-slot index list
+        dest: dict[int, list[int]] = {}
         for r in range(4):
             shift = (-r) % 4 if inverse else r
             if shift == 0:
-                idx = [4 * r + c for c in range(4)]
-                self.parts.append(
-                    (ctx.encode_plain(block_mask(idx), MASK_SCALE, full_limbs), 0)
-                )
+                dest.setdefault(0, []).extend(4 * r + c for c in range(4))
                 continue
-            # branch A: sources c' >= shift travel -shift
-            idx_a = [4 * r + c for c in range(shift, 4)]
-            # branch B: sources c' < shift wrap with +(4 - shift)
-            idx_b = [4 * r + c for c in range(shift)]
-            self.parts.append(
-                (
-                    ctx.encode_plain(block_mask(idx_a), MASK_SCALE, full_limbs),
-                    -shift * stride,
-                )
+            # branch A: dest columns [0, 4-shift) via rotation -shift
+            dest.setdefault(-shift * stride, []).extend(
+                4 * r + c for c in range(4 - shift)
             )
-            self.parts.append(
-                (
-                    ctx.encode_plain(block_mask(idx_b), MASK_SCALE, full_limbs),
-                    (4 - shift) * stride,
-                )
+            # branch B: wrap, dest columns [4-shift, 4) via +(4-shift)
+            dest.setdefault((4 - shift) * stride, []).extend(
+                4 * r + c for c in range(4 - shift, 4)
             )
+        self.deltas = sorted(d for d in dest if d != 0)
+        self.masks: dict[int, Plaintext] = {
+            d: ctx.encode_plain(block_mask(idx), MASK_SCALE, full_limbs)
+            for d, idx in dest.items()
+        }
 
     def one(self, ct: Ciphertext) -> Ciphertext:
         ctx = self.ctx
-        acc = None
-        for mask, rot in self.parts:
-            t = ctx.mul_plain(ct, mask)
-            if rot:
-                t = ctx.rotate(t, rot)
-            acc = t if acc is None else ctx.add(acc, t)
+        rots = ctx.rotate_many(ct, self.deltas)
+        acc = ctx.mul_plain(ct, self.masks[0])
+        for d, rt in zip(self.deltas, rots):
+            acc = ctx.add(acc, ctx.mul_plain(rt, self.masks[d]))
         return ctx.rescale(acc, 1)
 
     def __call__(self, state: CtPair) -> CtPair:
@@ -230,10 +227,14 @@ class _GfMixBase:
         self.xor4 = xor4
         self.stride = stride
 
-    def _rot_pair(self, state: CtPair, k: int) -> CtPair:
-        """Align a_{r+k, c} onto (r, c): global rotation by -4k*stride."""
-        d = -4 * k * self.stride
-        return self.ctx.rotate(state[0], d), self.ctx.rotate(state[1], d)
+    def _rots(self, state: CtPair) -> list[CtPair]:
+        """[rot1, rot2, rot3]: align a_{r+k,c} onto (r,c) for k=1..3 —
+        global rotations by -4k*stride, hoisted (one shared decomposition
+        per ciphertext)."""
+        ds = [-4 * k * self.stride for k in (1, 2, 3)]
+        his = self.ctx.rotate_many(state[0], ds)
+        los = self.ctx.rotate_many(state[1], ds)
+        return list(zip(his, los))
 
     def _gf_mult(self, state: CtPair, k: int) -> CtPair:
         hi_c, lo_c = luts.gf_mult_coeffs(k)
@@ -255,9 +256,7 @@ class MixColumns(_GfMixBase):
     chain)."""
 
     def __call__(self, state: CtPair) -> CtPair:
-        r1 = self._rot_pair(state, 1)
-        r2 = self._rot_pair(state, 2)
-        r3 = self._rot_pair(state, 3)
+        r1, r2, r3 = self._rots(state)
         t2 = self._gf_mult(state, 2)
         t3 = self._gf_mult(r1, 3)
         left = self.xor4.pair(t2, t3)
@@ -271,9 +270,7 @@ class InvMixColumns(_GfMixBase):
     the reference's committed decrypt dropped it (SURVEY.md quirk Q1)."""
 
     def __call__(self, state: CtPair) -> CtPair:
-        r1 = self._rot_pair(state, 1)
-        r2 = self._rot_pair(state, 2)
-        r3 = self._rot_pair(state, 3)
+        r1, r2, r3 = self._rots(state)
         t14 = self._gf_mult(state, 14)
         t11 = self._gf_mult(r1, 11)
         t13 = self._gf_mult(r2, 13)

@@ -761,6 +761,75 @@ class CkksContext:
         g = self.galois_element_for_rotation(delta)
         return self.apply_galois(ct, g)
 
+    def rotate_many(
+        self, ct: Ciphertext, deltas: list[int]
+    ) -> list[Ciphertext]:
+        """Hoisted rotations: one gadget decomposition of the a-part shared
+        by every rotation (the automorphism commutes with the per-limb digit
+        decomposition), so each extra rotation costs only the key inner
+        product + mod-down instead of a full iNTT/base-extend/NTT chain.
+        """
+        deltas = list(deltas)
+        gs = [self.galois_element_for_rotation(d) for d in deltas]
+        if len(deltas) <= 1:
+            return [self.rotate(ct, d) for d in deltas]
+        assert ct.n_poly == 2
+        for g in gs:
+            assert g == 1 or g in self.keys.galois, f"missing key g={g}"
+        l = ct.n_limbs
+        key = ("hoist", l, tuple(gs))
+        if key not in self._ks_jit:
+            self._ks_jit[key] = jax.jit(
+                functools.partial(self._rotate_many_impl, l=l, gs=tuple(gs))
+            )
+        ksks = [
+            self.keys.galois[g] if g != 1 else self.keys.relin for g in gs
+        ]  # placeholder for g==1 never used in inner product
+        datas = self._ks_jit[key](ct.data, ksks)
+        return [ct.with_data(d) for d in datas]
+
+    def _rotate_many_impl(self, data, ksks, l: int, gs: tuple[int, ...]):
+        p = self.params
+        ext_rows = self._rows_ext(l)
+        t_ext = self._tables_rows(ext_rows)
+        q_ext, qi_ext, _ = self._qrows(ext_rows)
+        q, _, _ = self._ql(l)
+        key_rows = np.asarray(ext_rows, np.int64)
+        b, a = data[..., 0, :, :], data[..., 1, :, :]
+        # shared decomposition of the *unrotated* a-part
+        a_coeff = intt(a, self._tab(l))
+        exts = []
+        for j, grp in enumerate(p.groups):
+            g0 = grp[0]
+            m = min(len(grp), max(0, l - g0))
+            if m <= 0:
+                break
+            conv = self._conv_group(g0, m, l)
+            ext = base_convert(a_coeff[..., g0 : g0 + m, :], conv)
+            exts.append((j, ntt(ext, t_ext)))
+        outs = []
+        for gi, g in enumerate(gs):
+            if g == 1:
+                outs.append(data)
+                continue
+            perm = self._galois_perm(g)
+            acc0 = acc1 = None
+            for j, ext in exts:
+                pe = jnp.take(ext, perm, axis=-1)
+                k0 = ksks[gi][j, 0][key_rows]
+                k1 = ksks[gi][j, 1][key_rows]
+                t0 = mont_mul(pe, k0, q_ext, qi_ext)
+                t1 = mont_mul(pe, k1, q_ext, qi_ext)
+                acc0 = t0 if acc0 is None else add_mod(acc0, t0, q_ext)
+                acc1 = t1 if acc1 is None else add_mod(acc1, t1, q_ext)
+            self.stats["keyswitch"] += 1
+            d0 = add_mod(
+                jnp.take(b, perm, axis=-1), self._mod_down(acc0, l), q
+            )
+            d1 = self._mod_down(acc1, l)
+            outs.append(jnp.stack([d0, d1], axis=-3))
+        return outs
+
     def conjugate(self, ct: Ciphertext) -> Ciphertext:
         return self.apply_galois(ct, self.params.two_n - 1)
 
