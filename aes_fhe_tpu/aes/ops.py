@@ -74,19 +74,27 @@ class Xor4:
     Only odd powers appear in the coefficient set, so each operand basis is 4
     multiplies + 4 conjugations; the 64 terms collapse to 8 lazy tensor
     products and ONE relinearization (vs 64 relinearizing multiplies in the
-    reference hot loop, xor4_lut.py:71-73)."""
+    reference hot loop, xor4_lut.py:71-73).
 
-    def __init__(self, ctx: CkksContext):
+    With ``use_jit`` the whole evaluation compiles into one XLA program per
+    input signature (keys/tables as arguments via ctx.jit_fn) — dispatch
+    overhead dominated the eager TPU path by ~5x."""
+
+    def __init__(self, ctx: CkksContext, use_jit: bool = False):
         self.ctx = ctx
         self.coeffs = luts.xor4_coeffs()
         self.need_p, self.need_q = _nz_axes(self.coeffs)
+        self._fwd = ctx.jit_fn(self._forward) if use_jit else self._forward
 
-    def __call__(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    def _forward(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         bx = build_power_basis(self.ctx, a, self.need_p, mirror=16)
         by = build_power_basis(self.ctx, b, self.need_q, mirror=16)
         return eval_lut_2d(
             self.ctx, self.coeffs, _basis_list(bx, 16), _basis_list(by, 16)
         )
+
+    def __call__(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return self._fwd(a, b)
 
     def pair(self, x: CtPair, y: CtPair) -> CtPair:
         return self(x[0], y[0]), self(x[1], y[1])
@@ -116,7 +124,9 @@ class SubBytes:
     ~45 key switches total vs ~150 in the reference's 128-power-basis loop.
     """
 
-    def __init__(self, ctx: CkksContext, inverse: bool = False):
+    def __init__(
+        self, ctx: CkksContext, inverse: bool = False, use_jit: bool = False
+    ):
         self.ctx = ctx
         hi, lo = luts.sbox_coeffs(inverse)
         self.low_hi, self.high_hi = self._split(hi)
@@ -125,6 +135,7 @@ class SubBytes:
         self.lift_need = {
             q for q in range(1, 16) if abs(self.lift[0, q]) > 1e-11
         }
+        self._fwd = ctx.jit_fn(self._forward) if use_jit else self._forward
 
     @staticmethod
     def _split(c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -140,6 +151,9 @@ class SubBytes:
         return low, high
 
     def __call__(self, ct_hi: Ciphertext, ct_lo: Ciphertext) -> CtPair:
+        return self._fwd(ct_hi, ct_lo)
+
+    def _forward(self, ct_hi: Ciphertext, ct_lo: Ciphertext) -> CtPair:
         ctx = self.ctx
         # 1) lift: univariate scalar sum (P=1 row in the generic evaluator)
         lb = build_power_basis(ctx, ct_lo, self.lift_need, mirror=16)
@@ -173,7 +187,13 @@ class ShiftRows:
     slots and every rotation acts on the SAME ciphertext — all six rotations
     share one hoisted gadget decomposition (ctx.rotate_many)."""
 
-    def __init__(self, ctx: CkksContext, stride: int, inverse: bool = False):
+    def __init__(
+        self,
+        ctx: CkksContext,
+        stride: int,
+        inverse: bool = False,
+        use_jit: bool = False,
+    ):
         self.ctx = ctx
         self.stride = stride
         n_slots = ctx.params.n_slots
@@ -205,8 +225,12 @@ class ShiftRows:
             d: ctx.encode_plain(block_mask(idx), MASK_SCALE, full_limbs)
             for d, idx in dest.items()
         }
+        self._one = ctx.jit_fn(self._one_impl) if use_jit else self._one_impl
 
     def one(self, ct: Ciphertext) -> Ciphertext:
+        return self._one(ct)
+
+    def _one_impl(self, ct: Ciphertext) -> Ciphertext:
         ctx = self.ctx
         rots = ctx.rotate_many(ct, self.deltas)
         acc = ctx.mul_plain(ct, self.masks[0])
@@ -222,10 +246,18 @@ class _GfMixBase:
     """Shared machinery: rotation alignment + GF-mult bivariate LUTs + XOR
     accumulation tree."""
 
-    def __init__(self, ctx: CkksContext, xor4: Xor4, stride: int):
+    def __init__(
+        self,
+        ctx: CkksContext,
+        xor4: Xor4,
+        stride: int,
+        use_jit: bool = False,
+    ):
         self.ctx = ctx
         self.xor4 = xor4
         self.stride = stride
+        self._gf_jit: dict[int, object] = {}
+        self.use_jit = use_jit
 
     def _rots(self, state: CtPair) -> list[CtPair]:
         """[rot1, rot2, rot3]: align a_{r+k,c} onto (r,c) for k=1..3 —
@@ -237,6 +269,17 @@ class _GfMixBase:
         return list(zip(his, los))
 
     def _gf_mult(self, state: CtPair, k: int) -> CtPair:
+        if self.use_jit:
+            if k not in self._gf_jit:
+                import functools
+
+                self._gf_jit[k] = self.ctx.jit_fn(
+                    functools.partial(self._gf_mult_impl, k=k)
+                )
+            return self._gf_jit[k](state)
+        return self._gf_mult_impl(state, k)
+
+    def _gf_mult_impl(self, state: CtPair, k: int) -> CtPair:
         hi_c, lo_c = luts.gf_mult_coeffs(k)
         need_p = _nz_axes(hi_c)[0] | _nz_axes(lo_c)[0]
         need_q = _nz_axes(hi_c)[1] | _nz_axes(lo_c)[1]
@@ -290,10 +333,14 @@ class Snap:
     root of unity.  Pure polynomial — no secret key involved (unlike the
     reference's hard renorm, quirk Q4)."""
 
-    def __init__(self, ctx: CkksContext):
+    def __init__(self, ctx: CkksContext, use_jit: bool = False):
         self.ctx = ctx
+        self._one = ctx.jit_fn(self._one_impl) if use_jit else self._one_impl
 
     def one(self, ct: Ciphertext) -> Ciphertext:
+        return self._one(ct)
+
+    def _one_impl(self, ct: Ciphertext) -> Ciphertext:
         ctx = self.ctx
         basis = build_power_basis(ctx, ct, {16})
         x17 = ctx.multiply(basis[16], ct, drop=2)

@@ -68,6 +68,7 @@ class AES128:
         ctx: CkksContext,
         policy: SnapPolicy = SnapPolicy.POLY,
         bootstrapper=None,
+        use_jit: bool = False,
     ):
         self.ctx = ctx
         self.policy = policy
@@ -77,16 +78,16 @@ class AES128:
             bootstrapper = Bootstrapper(ctx)
         self.bootstrapper = bootstrapper
         self.encoder = StateEncoder(ctx)
-        self.xor4 = Xor4(ctx)
+        self.xor4 = Xor4(ctx, use_jit=use_jit)
         self.ark = AddRoundKey(self.xor4)
-        self.sub = SubBytes(ctx, inverse=False)
-        self.inv_sub = SubBytes(ctx, inverse=True)
+        self.sub = SubBytes(ctx, inverse=False, use_jit=use_jit)
+        self.inv_sub = SubBytes(ctx, inverse=True, use_jit=use_jit)
         stride = self.encoder.stride
-        self.shift = ShiftRows(ctx, stride, inverse=False)
-        self.inv_shift = ShiftRows(ctx, stride, inverse=True)
-        self.mix = MixColumns(ctx, self.xor4, stride)
-        self.inv_mix = InvMixColumns(ctx, self.xor4, stride)
-        self.snap = Snap(ctx)
+        self.shift = ShiftRows(ctx, stride, inverse=False, use_jit=use_jit)
+        self.inv_shift = ShiftRows(ctx, stride, inverse=True, use_jit=use_jit)
+        self.mix = MixColumns(ctx, self.xor4, stride, use_jit=use_jit)
+        self.inv_mix = InvMixColumns(ctx, self.xor4, stride, use_jit=use_jit)
+        self.snap = Snap(ctx, use_jit=use_jit)
         self._rk_cache: dict[int, list[CtPair]] = {}
 
     # ------------------------------------------------------------------

@@ -122,6 +122,12 @@ class CkksContext:
         # --- per-limb-count jitted compound kernels ------------------------
         self._ks_jit: dict[int, object] = {}
         self._rs_jit: dict[int, object] = {}
+        # True while tracing under jit_fn: inner jits must be bypassed then
+        # (calling a nested jit with outer tracers caches a jaxpr whose
+        # captured constants are those tracers — a leak on the next eager
+        # call).
+        self._traced_mode = False
+        self._jnp_state = None
 
         # --- keys -----------------------------------------------------------
         self._rng = np.random.default_rng(seed)
@@ -343,6 +349,7 @@ class CkksContext:
     def add_galois_keys(self, elements) -> None:
         """Create switching keys for sigma_g(s) -> s for each Galois element."""
         p = self.params
+        self._jnp_state = None  # invalidate the traced-state snapshot
         for g in elements:
             g = int(g) % p.two_n
             if g in self.keys.galois or g == 1:
@@ -593,11 +600,14 @@ class CkksContext:
         d = l - 1
         assert d >= self.params.n_base, "rescale would eat the base modulus"
         qd = self.params.moduli[d]
-        if d not in self._rs_jit:
-            self._rs_jit[d] = jax.jit(
-                functools.partial(self._rescale_impl, d=d)
-            )
-        out = self._rs_jit[d](ct.data)
+        if self._traced_mode:
+            out = self._rescale_impl(ct.data, d=d)
+        else:
+            if d not in self._rs_jit:
+                self._rs_jit[d] = jax.jit(
+                    functools.partial(self._rescale_impl, d=d)
+                )
+            out = self._rs_jit[d](ct.data)
         return Ciphertext(data=out, scale=ct.scale / qd, ntt=True)
 
     def _rescale_impl(self, data: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -623,6 +633,8 @@ class CkksContext:
         its own compiled program instead of hundreds of eager dispatches.
         """
         self.stats["keyswitch"] += 1
+        if self._traced_mode:
+            return self._keyswitch_impl(a, ksk, l=l)
         if l not in self._ks_jit:
             self._ks_jit[l] = jax.jit(
                 functools.partial(self._keyswitch_impl, l=l)
@@ -706,21 +718,24 @@ class CkksContext:
         """The large device arrays a jitted program must receive as
         *arguments* (inlining them as XLA constants produces multi-GB
         programs that kill the TPU compiler): twiddle tables, the X^{N/2}
-        fast-path vector, and all key material."""
-        return {
-            "tables": NttTables(*(jnp.asarray(x) for x in self.tables)),
-            "pnh": self._pnh_mont,
-            "keys": {
-                "secret_mont": self.keys.secret_mont,
-                "secret_ntt": self.keys.secret_ntt,
-                "pk": self.keys.pk,
-                "relin": self.keys.relin,
-                "galois": dict(self.keys.galois),
-            },
-        }
+        fast-path vector, and all key material.  Cached; invalidated when
+        Galois keys are added."""
+        if self._jnp_state is None:
+            self._jnp_state = {
+                "tables": NttTables(*(jnp.asarray(x) for x in self.tables)),
+                "pnh": self._pnh_mont,
+                "keys": {
+                    "secret_mont": self.keys.secret_mont,
+                    "secret_ntt": self.keys.secret_ntt,
+                    "pk": self.keys.pk,
+                    "relin": self.keys.relin,
+                    "galois": dict(self.keys.galois),
+                },
+            }
+        return self._jnp_state
 
     def _swap_state(self, st):
-        old = (self.tables, self._pnh_mont, self.keys)
+        old = (self.tables, self._pnh_mont, self.keys, self._traced_mode)
         self.tables = st["tables"]
         self._pnh_mont = st["pnh"]
         k = st["keys"]
@@ -731,16 +746,22 @@ class CkksContext:
             relin=k["relin"],
             galois=k["galois"],
         )
+        self._traced_mode = True
         return old
 
     def _restore_state(self, old):
-        self.tables, self._pnh_mont, self.keys = old
+        (
+            self.tables,
+            self._pnh_mont,
+            self.keys,
+            self._traced_mode,
+        ) = old
 
     def jit_fn(self, fn):
         """jax.jit a function of Ciphertext/array pytrees that internally
         uses this context's verbs.  Keys and twiddle tables are threaded as
-        arguments so the compiled program contains no huge constants."""
-        state = self.traced_state()
+        arguments so the compiled program contains no huge constants; while
+        tracing, the per-kernel inner jits are bypassed (traced mode)."""
 
         def wrapped(st, *args, **kwargs):
             old = self._swap_state(st)
@@ -752,7 +773,7 @@ class CkksContext:
         jitted = jax.jit(wrapped)
 
         def call(*args, **kwargs):
-            return jitted(state, *args, **kwargs)
+            return jitted(self.traced_state(), *args, **kwargs)
 
         return call
 
@@ -777,15 +798,20 @@ class CkksContext:
         for g in gs:
             assert g == 1 or g in self.keys.galois, f"missing key g={g}"
         l = ct.n_limbs
-        key = ("hoist", l, tuple(gs))
-        if key not in self._ks_jit:
-            self._ks_jit[key] = jax.jit(
-                functools.partial(self._rotate_many_impl, l=l, gs=tuple(gs))
-            )
         ksks = [
             self.keys.galois[g] if g != 1 else self.keys.relin for g in gs
         ]  # placeholder for g==1 never used in inner product
-        datas = self._ks_jit[key](ct.data, ksks)
+        if self._traced_mode:
+            datas = self._rotate_many_impl(ct.data, ksks, l=l, gs=tuple(gs))
+        else:
+            key = ("hoist", l, tuple(gs))
+            if key not in self._ks_jit:
+                self._ks_jit[key] = jax.jit(
+                    functools.partial(
+                        self._rotate_many_impl, l=l, gs=tuple(gs)
+                    )
+                )
+            datas = self._ks_jit[key](ct.data, ksks)
         return [ct.with_data(d) for d in datas]
 
     def _rotate_many_impl(self, data, ksks, l: int, gs: tuple[int, ...]):

@@ -102,7 +102,7 @@ def bench_round(logn: int):
     # 128-bit-security bound for this N — acceptable for a performance
     # benchmark; production parameters use N=2^16 with bootstrapping.
     ctx, enc = build(logn, 68)
-    pipe = AES128(ctx, policy=SnapPolicy.NONE)
+    pipe = AES128(ctx, policy=SnapPolicy.NONE, use_jit=True)
     rng = np.random.default_rng(0)
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
     key = np.arange(16, dtype=np.uint8)
