@@ -102,23 +102,34 @@ def bench_round(logn: int):
     # 128-bit-security bound for this N — acceptable for a performance
     # benchmark; production parameters use N=2^16 with bootstrapping.
     ctx, enc = build(logn, 68)
-    pipe = AES128(ctx, policy=SnapPolicy.NONE, use_jit=True)
     rng = np.random.default_rng(0)
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
     key = np.arange(16, dtype=np.uint8)
     rks = R.expand_aes128_key(key)
-    rk = pipe.prepare_round_keys(rks)
 
-    def one_round(ct):
-        ct = pipe.sub(*ct)
-        ct = pipe.shift(ct)
-        ct = pipe.mix(ct)
-        return pipe.ark(ct, rk[1])
+    def make_round(use_jit: bool):
+        pipe = AES128(ctx, policy=SnapPolicy.NONE, use_jit=use_jit)
+        rk = pipe.prepare_round_keys(rks)
+
+        def one_round(ct):
+            ct = pipe.sub(*ct)
+            ct = pipe.shift(ct)
+            ct = pipe.mix(ct)
+            return pipe.ark(ct, rk[1])
+
+        return pipe, one_round
 
     ct0 = enc.encrypt(states)
     t0 = time.time()
-    out = one_round(ct0)
-    jax.block_until_ready((out[0].data, out[1].data))
+    try:
+        pipe, one_round = make_round(use_jit=True)
+        out = one_round(ct0)
+        jax.block_until_ready((out[0].data, out[1].data))
+    except Exception as e:  # remote compiler may kill very large programs
+        log(f"jitted-op round failed ({type(e).__name__}); eager fallback")
+        pipe, one_round = make_round(use_jit=False)
+        out = one_round(ct0)
+        jax.block_until_ready((out[0].data, out[1].data))
     warm = time.time() - t0
     log(f"warmup round (incl compiles): {warm:.1f}s")
 
