@@ -11,12 +11,11 @@ deliberate fixes:
   hot path:
     * NONE         — rely on precision alone (fine for a round or two);
     * POLY         — the zeta16 snap polynomial (no secret key, jittable);
+    * BOOTSTRAP    — full CKKS refresh (ckks/bootstrap.py) followed by a
+      snap; restores the level budget without the secret key;
     * DEBUG_RENORM — decrypt/re-encrypt exactly like the reference's
       ``_renorm_pair`` (pipeline.py:65-69).  Test-only: uses the secret key
       and resets the level budget; excluded from benchmark paths.
-
-Bootstrap-based stabilization lands in ckks/bootstrap.py and will slot in as
-a fourth policy.
 """
 
 from __future__ import annotations
