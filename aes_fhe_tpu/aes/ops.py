@@ -135,7 +135,15 @@ class SubBytes:
         self.lift_need = {
             q for q in range(1, 16) if abs(self.lift[0, q]) > 1e-11
         }
-        self._fwd = ctx.jit_fn(self._forward) if use_jit else self._forward
+        # jitted in two halves: the basis build and the BSGS accumulations
+        # each compile standalone (one program covering both exceeds the
+        # remote TPU compiler's size limit in this environment)
+        if use_jit:
+            self._basis_fn = ctx.jit_fn(self._build_basis)
+            self._accum_fn = ctx.jit_fn(self._accumulate)
+        else:
+            self._basis_fn = self._build_basis
+            self._accum_fn = self._accumulate
 
     @staticmethod
     def _split(c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -151,9 +159,12 @@ class SubBytes:
         return low, high
 
     def __call__(self, ct_hi: Ciphertext, ct_lo: Ciphertext) -> CtPair:
-        return self._fwd(ct_hi, ct_lo)
+        basis = self._basis_fn(ct_hi, ct_lo)
+        return self._accum_fn(basis)
 
-    def _forward(self, ct_hi: Ciphertext, ct_lo: Ciphertext) -> CtPair:
+    def _build_basis(
+        self, ct_hi: Ciphertext, ct_lo: Ciphertext
+    ) -> dict[int, Ciphertext]:
         ctx = self.ctx
         # 1) lift: univariate scalar sum (P=1 row in the generic evaluator)
         lb = build_power_basis(ctx, ct_lo, self.lift_need, mirror=16)
@@ -162,7 +173,10 @@ class SubBytes:
         ct_b = ctx.multiply(ct_hi, lifted, drop=2)
         # 3) shared babies + giants
         targets = set(range(2, 16)) | {16 * j for j in range(1, 9)}
-        basis = build_power_basis(ctx, ct_b, targets)
+        return build_power_basis(ctx, ct_b, targets)
+
+    def _accumulate(self, basis: dict[int, Ciphertext]) -> CtPair:
+        ctx = self.ctx
         giants = [None] + [basis[16 * j] for j in range(1, 9)]
         babies = _basis_list(basis, 16)
         # 4) four accumulations, two conjugation folds

@@ -757,11 +757,15 @@ class CkksContext:
             self._traced_mode,
         ) = old
 
-    def jit_fn(self, fn):
+    def jit_fn(self, fn, fallback: bool = True):
         """jax.jit a function of Ciphertext/array pytrees that internally
         uses this context's verbs.  Keys and twiddle tables are threaded as
         arguments so the compiled program contains no huge constants; while
-        tracing, the per-kernel inner jits are bypassed (traced mode)."""
+        tracing, the per-kernel inner jits are bypassed (traced mode).
+
+        With ``fallback`` (default), a backend/compiler failure (the remote
+        TPU compiler in this environment kills very large programs)
+        permanently downgrades this wrapper to eager execution."""
 
         def wrapped(st, *args, **kwargs):
             old = self._swap_state(st)
@@ -771,9 +775,25 @@ class CkksContext:
                 self._restore_state(old)
 
         jitted = jax.jit(wrapped)
+        state = {"eager": False}
 
         def call(*args, **kwargs):
-            return jitted(self.traced_state(), *args, **kwargs)
+            if not state["eager"]:
+                try:
+                    return jitted(self.traced_state(), *args, **kwargs)
+                except jax.errors.JaxRuntimeError as e:
+                    if not fallback:
+                        raise
+                    import sys
+
+                    print(
+                        f"jit_fn: compiler rejected program for "
+                        f"{getattr(fn, '__qualname__', fn)}; eager fallback "
+                        f"({type(e).__name__})",
+                        file=sys.stderr,
+                    )
+                    state["eager"] = True
+            return fn(*args, **kwargs)
 
         return call
 
