@@ -187,4 +187,8 @@ class Bootstrapper:
 
         out = self.s2c(z2)
         new_scale = out.scale * orig_scale / Fraction(self._q0)
-        return Ciphertext(data=out.data, scale=new_scale, ntt=True)
+        out = Ciphertext(data=out.data, scale=new_scale, ntt=True)
+        # Rebase to the working scale: new_scale sits ~2^9 below Delta, and
+        # any scale deficit amplifies exponentially through downstream power
+        # bases (x^k scale = Delta*(s/Delta)^k — integers underflow by x^8).
+        return ctx.to_scale(out, Fraction(ctx.params.scale))

@@ -38,7 +38,8 @@ __all__ = [
 ]
 
 _U32 = jnp.uint32
-MASK16 = jnp.uint32(0xFFFF)
+# plain ints: weak-typed literals stay out of jit/pallas closures
+MASK16 = 0xFFFF
 
 
 def mul_lo(a, b):
@@ -87,7 +88,7 @@ def mont_redc(t_hi, t_lo, q, q_neg_inv):
     """
     m = mul_lo(t_lo, q_neg_inv)
     mq_hi = mul_hi(m, q)
-    carry = (t_lo != jnp.uint32(0)).astype(_U32)
+    carry = (t_lo != 0).astype(_U32)
     r = t_hi + mq_hi + carry          # < 2q < 2^32
     return jnp.where(r >= q, r - q, r)
 

@@ -119,10 +119,17 @@ def bench_round(logn: int):
 
         return pipe, one_round
 
+    # Per-op jit cuts dispatch overhead substantially (xor4: 2 s -> 0.4 s)
+    # but the remote TPU compiler in this environment takes unbounded time on
+    # the largest op programs, so the benchmark defaults to the proven
+    # eager+inner-jit path; set AES_FHE_BENCH_JIT=1 to opt in.
+    import os
+
+    want_jit = bool(os.environ.get("AES_FHE_BENCH_JIT"))
     ct0 = enc.encrypt(states)
     t0 = time.time()
     try:
-        pipe, one_round = make_round(use_jit=True)
+        pipe, one_round = make_round(use_jit=want_jit)
         out = one_round(ct0)
         jax.block_until_ready((out[0].data, out[1].data))
     except Exception as e:  # remote compiler may kill very large programs

@@ -59,7 +59,7 @@ def test_bootstrap_refreshes(bctx, booter, rng):
     ct = bctx.encrypt(vals)
     low = bctx.drop_limbs(ct, ct.n_limbs - 6)
     fresh = booter(low)
-    assert fresh.n_limbs >= bctx.params.n_base + 3, fresh.n_limbs
+    assert fresh.n_limbs >= bctx.params.n_base + 2, fresh.n_limbs
     got = bctx.decrypt_values(fresh)
     np.testing.assert_allclose(got, vals, atol=2e-4)
     # refreshed ciphertext must support further multiplication
