@@ -39,12 +39,14 @@ __all__ = ["PallasNttTables", "build_pallas_tables", "ntt_pl", "intt_pl"]
 
 class PallasNttTables(NamedTuple):
     """Per-stage twiddle tables for the split/transpose kernel (numpy u32,
-    Montgomery form).  L = number of primes."""
+    Montgomery form), pre-expanded so every in-kernel reshape is a pure
+    *sublane* regrouping (Mosaic cannot relayout lanes into sublanes).
+    L = number of primes."""
 
-    tw1: np.ndarray        # [L, S1, R//2]    forward phase 1 (row-blocks)
-    tw2: np.ndarray        # [L, S2, C//2, R] forward phase 2 ((c_blk, q))
-    twi2: np.ndarray       # [L, S2, C//2, R] inverse phase 1 (transposed)
-    twi1: np.ndarray       # [L, S1, R//2]    inverse phase 2 (row-blocks)
+    tw1: np.ndarray        # [L, S1, R//2, 1] fwd phase 1, expanded by row
+    tw2: np.ndarray        # [L, S2, C//2, R] fwd phase 2, expanded by (ci, j)
+    twi2: np.ndarray       # [L, S2, C//2, R] inv phase 1 (transposed view)
+    twi1: np.ndarray       # [L, S1, R//2, 1] inv phase 2, expanded by row
     ninv: np.ndarray       # [L, 1] Montgomery N^-1
     q: np.ndarray          # [L, 1]
     q_neg_inv: np.ndarray  # [L, 1]
@@ -64,30 +66,42 @@ def build_pallas_tables(t: NttTables, lanes: int = 128) -> PallasNttTables:
     S1 = logn - (C.bit_length() - 1)
     S2 = C.bit_length() - 1
 
-    tw1 = np.zeros((L, S1, R // 2), np.uint32)
+    # phase 1, stage s: v has flat sublane shape (m, hr) -> store the block
+    # twiddle psi[m + i] repeated hr times at rows i*hr + j.
+    tw1 = np.zeros((L, S1, R // 2, 1), np.uint32)
     for s in range(S1):
         m = 1 << s
-        tw1[:, s, :m] = psi[:, m : 2 * m]
+        hr = R >> (s + 1)
+        tw1[:, s, :, 0] = np.repeat(psi[:, m : 2 * m], hr, axis=1)
 
+    # phase 2 (transposed view), stage sp: v is (mc, hc, R) with hc=C>>(sp+1);
+    # twiddle for (ci, q) is psi[m_g + q*mc + ci], identical across j < hc.
     tw2 = np.zeros((L, S2, C // 2, R), np.uint32)
     q_idx = np.arange(R)
     for sp in range(S2):
         mc = 1 << sp
+        hc = C >> (sp + 1)
         m_g = R * mc
         for ci in range(mc):
-            tw2[:, sp, ci, :] = psi[:, m_g + q_idx * mc + ci]
+            row = psi[:, m_g + q_idx * mc + ci]
+            for j in range(hc):
+                tw2[:, sp, ci * hc + j, :] = row
 
     twi2 = np.zeros((L, S2, C // 2, R), np.uint32)
     for s in range(S2):
         h = n >> (s + 1)
         mc = C >> (s + 1)
+        half = 1 << s
         for ci in range(mc):
-            twi2[:, s, ci, :] = psi_inv[:, h + q_idx * mc + ci]
+            row = psi_inv[:, h + q_idx * mc + ci]
+            for j in range(half):
+                twi2[:, s, ci * half + j, :] = row
 
-    twi1 = np.zeros((L, S1, R // 2), np.uint32)
+    twi1 = np.zeros((L, S1, R // 2, 1), np.uint32)
     for j in range(S1):
-        h = R >> (j + 1)
-        twi1[:, j, :h] = psi_inv[:, h : 2 * h]
+        hb = R >> (j + 1)
+        half = 1 << j
+        twi1[:, j, :, 0] = np.repeat(psi_inv[:, hb : 2 * hb], half, axis=1)
 
     return PallasNttTables(
         tw1=tw1,
@@ -106,14 +120,15 @@ def _butterfly_merge(a, b, shape):
     return jnp.concatenate([a[:, None], b[:, None]], axis=1).reshape(shape)
 
 
-def _fwd_kernel(x_ref, tw1_ref, tw2_ref, q_ref, qi_ref, o_ref, *, logn, lanes):
+def _fwd_kernel(x_ref, tw1_ref, tw2_ref, q_ref, qi_ref, o_ref, *, logn, lanes, L):
     n = 1 << logn
     C = lanes
     R = n // C
     S1 = logn - (C.bit_length() - 1)
     S2 = C.bit_length() - 1
-    q = q_ref[0, 0]
-    qi = qi_ref[0, 0]
+    limb = jax.lax.rem(pl.program_id(0), L)
+    q = q_ref[limb, 0]
+    qi = qi_ref[limb, 0]
     x = x_ref[0]  # [R, C]
 
     for s in range(S1):
@@ -121,16 +136,17 @@ def _fwd_kernel(x_ref, tw1_ref, tw2_ref, q_ref, qi_ref, o_ref, *, logn, lanes):
         hr = R >> (s + 1)
         xs = x.reshape(m, 2, hr, C)
         u, v = xs[:, 0], xs[:, 1]
-        tw = tw1_ref[0, s, :m].reshape(m, 1, 1)
+        tw = tw1_ref[0, s].reshape(m, hr, 1)   # sublane-only regroup
         vs = mont_mul(v, tw, q, qi)
         x = _butterfly_merge(add_mod(u, vs, q), sub_mod(u, vs, q), (R, C))
 
     y = jnp.transpose(x)  # [C, R]
     for sp in range(S2):
         mc = 1 << sp
-        ys = y.reshape(mc, 2, C >> (sp + 1), R)
+        hc = C >> (sp + 1)
+        ys = y.reshape(mc, 2, hc, R)
         u, v = ys[:, 0], ys[:, 1]
-        tw = tw2_ref[0, sp, :mc][:, None, :]  # [mc, 1, R]
+        tw = tw2_ref[0, sp].reshape(mc, hc, R)  # sublane-only regroup
         vs = mont_mul(v, tw, q, qi)
         y = _butterfly_merge(add_mod(u, vs, q), sub_mod(u, vs, q), (C, R))
 
@@ -138,15 +154,17 @@ def _fwd_kernel(x_ref, tw1_ref, tw2_ref, q_ref, qi_ref, o_ref, *, logn, lanes):
 
 
 def _inv_kernel(
-    x_ref, twi2_ref, twi1_ref, ninv_ref, q_ref, qi_ref, o_ref, *, logn, lanes
+    x_ref, twi2_ref, twi1_ref, ninv_ref, q_ref, qi_ref, o_ref, *, logn, lanes, L
 ):
     n = 1 << logn
     C = lanes
     R = n // C
     S1 = logn - (C.bit_length() - 1)
     S2 = C.bit_length() - 1
-    q = q_ref[0, 0]
-    qi = qi_ref[0, 0]
+    limb = jax.lax.rem(pl.program_id(0), L)
+    q = q_ref[limb, 0]
+    qi = qi_ref[limb, 0]
+    ninv = ninv_ref[limb, 0]
 
     y = jnp.transpose(x_ref[0])  # [C, R]
     for s in range(S2):
@@ -154,7 +172,7 @@ def _inv_kernel(
         mc = C >> (s + 1)
         ys = y.reshape(mc, 2, half, R)
         u, v = ys[:, 0], ys[:, 1]
-        tw = twi2_ref[0, s, :mc][:, None, :]
+        tw = twi2_ref[0, s].reshape(mc, half, R)  # sublane-only regroup
         y = _butterfly_merge(
             add_mod(u, v, q),
             mont_mul(sub_mod(u, v, q), tw, q, qi),
@@ -164,20 +182,22 @@ def _inv_kernel(
     x = jnp.transpose(y)  # [R, C]
     for j in range(S1):
         hb = R >> (j + 1)
-        xs = x.reshape(hb, 2, 1 << j, C)
+        half = 1 << j
+        xs = x.reshape(hb, 2, half, C)
         u, v = xs[:, 0], xs[:, 1]
-        tw = twi1_ref[0, j, :hb].reshape(hb, 1, 1)
+        tw = twi1_ref[0, j].reshape(hb, half, 1)  # sublane-only regroup
         x = _butterfly_merge(
             add_mod(u, v, q),
             mont_mul(sub_mod(u, v, q), tw, q, qi),
             (R, C),
         )
 
-    o_ref[0] = mont_mul(x, ninv_ref[0, 0], q, qi)
+    o_ref[0] = mont_mul(x, ninv, q, qi)
 
 
-def _call(kernel, x, tabs, t: PallasNttTables, interpret: bool):
-    """x: u32 [..., L, N]; tabs: table operands indexed by limb."""
+def _call(kernel, x, tabs, scalars, t: PallasNttTables, interpret: bool):
+    """x: u32 [..., L, N]; tabs: per-limb table operands (blocked by limb);
+    scalars: [L, 1] u32 arrays passed whole in SMEM, indexed in-kernel."""
     L = x.shape[-2]
     n = x.shape[-1]
     C = t.lanes
@@ -199,16 +219,15 @@ def _call(kernel, x, tabs, t: PallasNttTables, interpret: bool):
             )
         )
         ins.append(tab)
-    for arr in (t.q, t.q_neg_inv):
+    for arr in scalars:
+        # whole [L, 1] array in SMEM; the kernel indexes it by program_id % L
         in_specs.append(
-            pl.BlockSpec(
-                (1, 1), lambda g: (g % L, 0), memory_space=pltpu.SMEM
-            )
+            pl.BlockSpec(arr.shape, lambda g: (0, 0), memory_space=pltpu.SMEM)
         )
         ins.append(arr)
 
     out = pl.pallas_call(
-        functools.partial(kernel, logn=t.logn, lanes=t.lanes),
+        functools.partial(kernel, logn=t.logn, lanes=t.lanes, L=L),
         out_shape=jax.ShapeDtypeStruct((g_lead * L, R, C), jnp.uint32),
         grid=(g_lead * L,),
         in_specs=in_specs,
@@ -220,9 +239,18 @@ def _call(kernel, x, tabs, t: PallasNttTables, interpret: bool):
 
 def ntt_pl(x, t: PallasNttTables, interpret: bool = False):
     """Forward negacyclic NTT, bit-identical to core.ntt.ntt."""
-    return _call(_fwd_kernel, x, [t.tw1, t.tw2], t, interpret)
+    return _call(
+        _fwd_kernel, x, [t.tw1, t.tw2], [t.q, t.q_neg_inv], t, interpret
+    )
 
 
 def intt_pl(x, t: PallasNttTables, interpret: bool = False):
     """Inverse negacyclic NTT, bit-identical to core.ntt.intt."""
-    return _call(_inv_kernel, x, [t.twi2, t.twi1, t.ninv], t, interpret)
+    return _call(
+        _inv_kernel,
+        x,
+        [t.twi2, t.twi1],
+        [t.ninv, t.q, t.q_neg_inv],
+        t,
+        interpret,
+    )
