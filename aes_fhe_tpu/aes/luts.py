@@ -32,6 +32,7 @@ __all__ = [
     "xor4_coeffs",
     "sbox_coeffs",
     "gf_mult_coeffs",
+    "zeta16_snap_coeffs",
     "lift16_to_256_coeffs",
     "verify_bivariate_16",
     "verify_univariate_256",
@@ -73,6 +74,25 @@ def gf_mult_coeffs(k: int) -> tuple[np.ndarray, np.ndarray]:
     hi = ZetaCodec.to_zeta(prod >> 4, 16)
     lo = ZetaCodec.to_zeta(prod & 0x0F, 16)
     return _sparsify(np.fft.ifft2(hi)), _sparsify(np.fft.ifft2(lo))
+
+
+@functools.lru_cache(maxsize=None)
+def zeta16_snap_coeffs() -> np.ndarray:
+    """[16] complex: the L2-optimal "snap" polynomial over the mirrored
+    zeta16 basis — which is provably just c1*x with c1 = sinc(pi/16).
+
+    The snapped-phase target exp(i*snap_16(theta)) has Fourier support only
+    at harmonics k = 1 mod 16; the degree-(<=15) mirrored basis spans
+    k in [-7, 8], so the projection keeps only k=1 with coefficient
+    (1/2pi) int exp(i(snap(t)-t)) dt = sin(pi/16)/(pi/16) ~ 0.993587.
+    This is the *exact closed form* of what the reference's ill-conditioned
+    8192-sample ridge fit approximated (c1 ~ 0.9936,
+    gen/make_zeta16_snap_coeffs.py:11-35; SURVEY.md C21) — and the spectral
+    proof of why that fit had to degenerate to near-identity.  Genuine
+    snapping needs the x^17 harmonic (see aes/ops.py Snap)."""
+    c = np.zeros(16, np.complex128)
+    c[1] = np.sin(np.pi / 16) / (np.pi / 16)
+    return c
 
 
 @functools.lru_cache(maxsize=None)

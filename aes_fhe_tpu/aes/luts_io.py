@@ -95,4 +95,5 @@ def write_all_coeff_files(out_dir: Path) -> list[Path]:
         w1(f"{tag}mod256_to_16_hi_coeffs.json", hi)
         w1(f"{tag}mod256_to_16_lo_coeffs.json", lo)
     w1("lift16_to_256_coeffs.json", luts.lift16_to_256_coeffs())
+    w1("zeta16_snap_coeffs.json", luts.zeta16_snap_coeffs())
     return written

@@ -42,6 +42,9 @@ __all__ = [
     "MixColumns",
     "InvMixColumns",
     "Snap",
+    "SnapNoMul",
+    "NoiseReducer",
+    "Snap1D",
     "rotation_steps_required",
 ]
 
@@ -363,6 +366,112 @@ class Snap:
         coeffs[0, 17] = -1.0 / 16.0
         by = [None] + [basis.get(k) for k in range(1, 17)] + [x17]
         return eval_lut_2d(ctx, coeffs, [None], by)
+
+    def pair(self, state: CtPair) -> CtPair:
+        return self.one(state[0]), self.one(state[1])
+
+
+class SnapNoMul:
+    """Reference-parity snap variant: f(x) = (9/8)x + (1/8)x^9 with
+    x^9 = conj(x^7) (reference: Zeta16SnapNoMul,
+    zeta16_noise_reducter.py:64-105 — "no mul" = no ct x ct beyond the
+    power basis; the x^16 * x step of the full Snap is avoided).
+
+    Honest characterization (the reference never documented this): on the
+    codebook f(zeta^v) = zeta^v * (9 + (-1)^v)/8 — phase-EXACT everywhere
+    (so the phase-only decode stays exact) but magnitude inflates to 1.25 on
+    even codewords, and phase noise contracts to first order only on odd
+    codewords (amplified ~1.8x on even ones).  Kept for parity and for
+    odd-nibble-heavy traffic; ``Snap`` is the correct general-purpose map."""
+
+    def __init__(self, ctx: CkksContext, use_jit: bool = False):
+        self.ctx = ctx
+        self._one = ctx.jit_fn(self._one_impl) if use_jit else self._one_impl
+
+    def one(self, ct: Ciphertext) -> Ciphertext:
+        return self._one(ct)
+
+    def _one_impl(self, ct: Ciphertext) -> Ciphertext:
+        ctx = self.ctx
+        basis = build_power_basis(ctx, ct, {9}, mirror=16)  # x^9 = conj(x^7)
+        coeffs = np.zeros((1, 10), np.complex128)
+        coeffs[0, 1] = 9.0 / 8.0
+        coeffs[0, 9] = 1.0 / 8.0
+        by = [None] + [basis.get(k) for k in range(1, 10)]
+        return eval_lut_2d(ctx, coeffs, [None], by)
+
+    def pair(self, state: CtPair) -> CtPair:
+        return self.one(state[0]), self.one(state[1])
+
+
+class NoiseReducer:
+    """Generic order-m contractive re-anchoring f(x) = (1 + 1/m)x - (1/m)x^{m+1}
+    (reference: NoiseReducer, noise_reduction.py:14-83, which was dead code
+    there; live and tested here).  ``m`` is the codebook order (16 for
+    nibbles, 256 for the byte domain)."""
+
+    def __init__(self, ctx: CkksContext, m: int = 16, use_jit: bool = False):
+        self.ctx = ctx
+        self.m = m
+        self._one = ctx.jit_fn(self._one_impl) if use_jit else self._one_impl
+
+    def one(self, ct: Ciphertext) -> Ciphertext:
+        return self._one(ct)
+
+    def _one_impl(self, ct: Ciphertext) -> Ciphertext:
+        ctx = self.ctx
+        m = self.m
+        basis = build_power_basis(ctx, ct, {m})
+        x_m1 = ctx.multiply(basis[m], ct, drop=2)
+        coeffs = np.zeros((1, m + 2), np.complex128)
+        coeffs[0, 1] = 1.0 + 1.0 / m
+        coeffs[0, m + 1] = -1.0 / m
+        by = [None] + [basis.get(k) for k in range(1, m + 1)] + [x_m1]
+        return eval_lut_2d(ctx, coeffs, [None], by)
+
+    def pair(self, state: CtPair) -> CtPair:
+        return self.one(state[0]), self.one(state[1])
+
+
+class Snap1D:
+    """Apply a loaded degree-(<=15) polynomial over the mirrored zeta16 basis
+    (reference: Zeta16Snap1D, snapper_1d_z16.py:17-83, driven by
+    zeta16_snap_coeffs.json).
+
+    No polynomial in this basis can actually snap: the snapped-phase target
+    g(theta) = exp(i*snap_16(theta)) has Fourier support only at harmonics
+    k = 1 mod 16, and the mirrored basis spans k in [-7, 8] — whose sole
+    admissible harmonic is k = 1.  Any L2 fit therefore degenerates to
+    c1*x with c1 = sinc(pi/16) ~ 0.99358, which is exactly what the
+    reference's 8192-sample ridge fit "found" (c1 ~ 0.9936,
+    gen/make_zeta16_snap_coeffs.py; SURVEY.md C21).  The class exists for
+    parity and for applying *other* 1D maps; real snapping is ``Snap``."""
+
+    def __init__(
+        self,
+        ctx: CkksContext,
+        coeffs: np.ndarray | None = None,
+        use_jit: bool = False,
+    ):
+        self.ctx = ctx
+        if coeffs is None:
+            from .luts import zeta16_snap_coeffs
+
+            coeffs = zeta16_snap_coeffs()
+        c = np.zeros((1, 16), np.complex128)
+        c[0, : len(coeffs)] = np.asarray(coeffs)
+        self.coeffs = c
+        self.need = {q for q in range(1, 16) if abs(c[0, q]) > 1e-11}
+        self._one = ctx.jit_fn(self._one_impl) if use_jit else self._one_impl
+
+    def one(self, ct: Ciphertext) -> Ciphertext:
+        return self._one(ct)
+
+    def _one_impl(self, ct: Ciphertext) -> Ciphertext:
+        ctx = self.ctx
+        basis = build_power_basis(ctx, ct, self.need, mirror=16)
+        by = [None] + [basis.get(k) for k in range(1, 16)]
+        return eval_lut_2d(ctx, self.coeffs, [None], by)
 
     def pair(self, state: CtPair) -> CtPair:
         return self.one(state[0]), self.one(state[1])

@@ -1,0 +1,105 @@
+"""Checkpoint / resume: serialize keys, ciphertexts, and stage snapshots.
+
+The reference had no persistence at all (SURVEY.md section 5 — its closest
+analogs were in-memory caches: the encrypted round-key cache,
+pipeline.py:75-81, and the per-stage debug dict, pipeline.py:84-98).  Here
+keys and ciphertexts are plain RNS integer arrays plus exact static metadata,
+so checkpointing is one compressed npz per object:
+
+- ``save_ciphertext`` / ``load_ciphertext`` — u32 data + exact Fraction scale
+  (stored as decimal strings: scales can exceed float range) + domain flag.
+- ``save_keyset`` / ``load_keyset``         — the full KeySet including every
+  Galois key, restorable into a context built with the same parameters.
+- ``save_snapshots`` / ``load_snapshots``   — a pipeline debug dict of decoded
+  per-stage states (the ``_log_pair`` equivalent), for resumable differential
+  debugging across processes.
+
+Everything round-trips bit-exactly (tests/test_serialization.py)."""
+
+from __future__ import annotations
+
+import json
+from fractions import Fraction
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ckks.types import Ciphertext
+from ..ckks.keys import KeySet
+
+__all__ = [
+    "save_ciphertext",
+    "load_ciphertext",
+    "save_keyset",
+    "load_keyset",
+    "save_snapshots",
+    "load_snapshots",
+]
+
+
+def _scale_str(scale: Fraction) -> str:
+    return f"{scale.numerator}/{scale.denominator}"
+
+
+def _scale_of(s: str) -> Fraction:
+    num, den = s.split("/")
+    return Fraction(int(num), int(den))
+
+
+def save_ciphertext(path: str | Path, ct: Ciphertext) -> None:
+    np.savez_compressed(
+        Path(path),
+        data=np.asarray(ct.data),
+        meta=json.dumps({"scale": _scale_str(ct.scale), "ntt": ct.ntt}),
+    )
+
+
+def load_ciphertext(path: str | Path) -> Ciphertext:
+    with np.load(Path(path), allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        return Ciphertext(
+            data=jnp.asarray(z["data"]),
+            scale=_scale_of(meta["scale"]),
+            ntt=bool(meta["ntt"]),
+        )
+
+
+def save_keyset(path: str | Path, keys: KeySet) -> None:
+    arrays = {
+        "secret_mont": np.asarray(keys.secret_mont),
+        "secret_ntt": np.asarray(keys.secret_ntt),
+        "pk": np.asarray(keys.pk),
+        "relin": np.asarray(keys.relin),
+    }
+    for g, k in keys.galois.items():
+        arrays[f"galois_{int(g)}"] = np.asarray(k)
+    np.savez_compressed(Path(path), **arrays)
+
+
+def load_keyset(path: str | Path) -> KeySet:
+    with np.load(Path(path), allow_pickle=False) as z:
+        galois = {
+            int(name.removeprefix("galois_")): jnp.asarray(z[name])
+            for name in z.files
+            if name.startswith("galois_")
+        }
+        return KeySet(
+            secret_mont=jnp.asarray(z["secret_mont"]),
+            secret_ntt=jnp.asarray(z["secret_ntt"]),
+            pk=jnp.asarray(z["pk"]),
+            relin=jnp.asarray(z["relin"]),
+            galois=galois,
+        )
+
+
+def save_snapshots(path: str | Path, snapshots: dict[str, np.ndarray]) -> None:
+    """Persist a pipeline debug dict {stage_tag: decoded state array}."""
+    np.savez_compressed(
+        Path(path), **{tag: np.asarray(v) for tag, v in snapshots.items()}
+    )
+
+
+def load_snapshots(path: str | Path) -> dict[str, np.ndarray]:
+    with np.load(Path(path), allow_pickle=False) as z:
+        return {tag: z[tag] for tag in z.files}

@@ -18,6 +18,9 @@ from aes_fhe_tpu.aes.ops import (
     MixColumns,
     InvMixColumns,
     Snap,
+    SnapNoMul,
+    NoiseReducer,
+    Snap1D,
     rotation_steps_required,
 )
 
@@ -114,3 +117,43 @@ def test_snap_preserves_codewords(actx, enc, rng):
     # snap should leave codewords essentially on the unit circle
     vals = actx.decrypt_values(out[0])
     np.testing.assert_allclose(np.abs(vals), 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "factory,on_circle",
+    [
+        (SnapNoMul, False),           # magnitude 1.25 on even codewords
+        (lambda ctx: NoiseReducer(ctx, m=16), True),
+        (Snap1D, False),              # c1 = sinc(pi/16) ~ 0.9936
+    ],
+    ids=["nomul", "noise_reducer16", "snap1d"],
+)
+def test_snap_family_phase_exact(actx, enc, rng, factory, on_circle):
+    """Every snap variant (reference C12-C14 family) is phase-exact on the
+    zeta16 codebook, so the phase-only decode stays exact."""
+    snap = factory(actx)
+    s = _states(rng, enc)
+    ct = enc.encrypt(s)
+    out = snap.pair(ct)
+    got = enc.decrypt(*out, n_blocks=enc.batch)
+    np.testing.assert_array_equal(got, s)
+    if on_circle:
+        vals = actx.decrypt_values(out[0])
+        np.testing.assert_allclose(np.abs(vals), 1.0, atol=1e-4)
+
+
+def test_snap_contracts_phase_noise():
+    """Plain-math properties of the snap maps on perturbed codewords:
+    Snap contracts quadratically everywhere; the reference's NoMul formula
+    contracts on odd codewords but amplifies on even ones (the documented
+    reason it is not the default)."""
+    eps = 1e-2
+    v = np.arange(16)
+    x = np.exp(-2j * np.pi * v / 16) * np.exp(1j * eps)
+    want = np.exp(-2j * np.pi * v / 16)
+    phase_err = lambda f: np.abs(np.angle(f / want))
+    f_snap = (17 * x - x**17) / 16
+    assert phase_err(f_snap).max() < 20 * eps**2
+    f_nomul = (9 * x + x**9) / 8
+    assert phase_err(f_nomul)[1::2].max() < 0.2 * eps   # odd: contracts
+    assert phase_err(f_nomul)[0::2].min() > 1.5 * eps   # even: amplifies
