@@ -32,6 +32,9 @@ __all__ = [
     "xor4_coeffs",
     "sbox_coeffs",
     "gf_mult_coeffs",
+    "gf_mult_byte_coeffs",
+    "gf_mult_byte_split_coeffs",
+    "split256_coeffs",
     "zeta16_snap_coeffs",
     "lift16_to_256_coeffs",
     "verify_bivariate_16",
@@ -74,6 +77,46 @@ def gf_mult_coeffs(k: int) -> tuple[np.ndarray, np.ndarray]:
     hi = ZetaCodec.to_zeta(prod >> 4, 16)
     lo = ZetaCodec.to_zeta(prod & 0x0F, 16)
     return _sparsify(np.fft.ifft2(hi)), _sparsify(np.fft.ifft2(lo))
+
+
+@functools.lru_cache(maxsize=None)
+def gf_mult_byte_coeffs(k: int) -> np.ndarray:
+    """[256] complex over zeta256: byte codeword -> byte codeword of k*b in
+    GF(2^8) (the byte-domain multiplier LUTs of the reference's experimental
+    MixColumns, temp/mix_columns_enc.py:64-72)."""
+    prod = np.array([gf_mul(b, k) for b in range(256)], np.uint8)
+    z256 = np.exp(-2j * np.pi / 256)
+    return _sparsify(np.fft.ifft(z256 ** prod.astype(np.float64)))
+
+
+@functools.lru_cache(maxsize=None)
+def gf_mult_byte_split_coeffs(k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) each [256] over zeta256: byte codeword -> zeta16 nibble
+    codewords of k*b in GF(2^8).  The composition split o gf_mult_byte as a
+    single LUT pair — the byte-domain MixColumns building block
+    (aes/experimental.py; reference: temp/mix_columns_enc.py:158-179 did the
+    split as a separate stage)."""
+    prod = np.array([gf_mul(b, k) for b in range(256)], np.uint8)
+    hi = _sparsify(np.fft.ifft(ZetaCodec.to_zeta(prod >> 4, 16)))
+    lo = _sparsify(np.fft.ifft(ZetaCodec.to_zeta(prod & 0x0F, 16)))
+    return hi, lo
+
+
+@functools.lru_cache(maxsize=None)
+def split256_coeffs() -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) each [256] over zeta256: byte codeword -> zeta16 codewords of
+    its two nibbles (reference C19's split_hi/split_lo sets,
+    gen/generate_sobx_coeffs.py:92-115).
+
+    Structure (verified): split_hi depends only on the hi nibble -> exactly
+    16 nonzeros at multiples of 16; split_lo is the single monomial x^16
+    (zeta256^{16b} = zeta16^b = zeta16^{b mod 16}) — the reference's
+    '4 squarings' low-depth trick (temp/shiftrows_mixcolumns_fused.py:180-224)
+    is exactly this monomial."""
+    b = np.arange(256)
+    hi = _sparsify(np.fft.ifft(ZetaCodec.to_zeta(b >> 4, 16)))
+    lo = _sparsify(np.fft.ifft(ZetaCodec.to_zeta(b & 0x0F, 16)))
+    return hi, lo
 
 
 @functools.lru_cache(maxsize=None)

@@ -128,10 +128,17 @@ class SubBytes:
     """
 
     def __init__(
-        self, ctx: CkksContext, inverse: bool = False, use_jit: bool = False
+        self,
+        ctx: CkksContext,
+        inverse: bool = False,
+        use_jit: bool = False,
+        coeffs: tuple[np.ndarray, np.ndarray] | None = None,
     ):
+        """``coeffs`` overrides the dual degree-255 polynomials (hi, lo),
+        turning this into a generic byte -> (nibble, nibble) LUT evaluator
+        (used by aes/experimental.py for byte-domain GF multipliers)."""
         self.ctx = ctx
-        hi, lo = luts.sbox_coeffs(inverse)
+        hi, lo = luts.sbox_coeffs(inverse) if coeffs is None else coeffs
         self.low_hi, self.high_hi = self._split(hi)
         self.low_lo, self.high_lo = self._split(lo)
         self.lift = luts.lift16_to_256_coeffs().reshape(1, 16)
