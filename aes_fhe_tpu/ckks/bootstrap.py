@@ -97,9 +97,9 @@ class Bootstrapper:
         ctx = self.ctx
         p = ctx.params
         ct = ctx.drop_limbs(ct, ct.n_limbs - 1)
-        coeff = intt(ct.data, ctx._tab(1))
+        coeff = ctx._intt(ct.data, (0,))
         ext = base_convert_centered(coeff, self._mr_conv)  # [2, L, N]
-        data = ntt(ext, ctx._tab(p.n_limbs))
+        data = ctx._ntt(ext, tuple(range(p.n_limbs)))
         raised = Ciphertext(data=data, scale=Fraction(self._q0), ntt=True)
         # Boost by an exact integer constant to ~the working scale: at the
         # raw scale q0 ~ 2^30 the engine noise floor (~2^10) would sit at

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from ..params import CkksParams
 from ..core.modular import add_mod, sub_mod, neg_mod, mont_mul, mont_constants
 from ..core.ntt import NttTables, build_ntt_tables, ntt, intt, bit_reverse_perm
+from ..core.ntt_pallas import PallasNttTables, build_pallas_tables, ntt_pl, intt_pl
 from ..core.rns import ConvTables, make_conv_tables, base_convert
 from ..core.modular import barrett_reduce
 from .encoder import Encoder
@@ -73,6 +74,7 @@ class CkksContext:
         rotations: tuple[int, ...] = (),
         conjugation: bool = True,
         secret_hamming: int | None = None,
+        ntt_impl: str = "auto",
     ):
         self.params = params
         self.secret_hamming = secret_hamming
@@ -88,6 +90,28 @@ class CkksContext:
         # arrays enter traced computations as constants.
         t = build_ntt_tables(p.all_primes, p.logn)
         self.tables = NttTables(*(np.asarray(x) for x in t))
+
+        # --- NTT implementation: fused Pallas kernel on real TPUs ----------
+        # "auto" picks the VMEM-resident Pallas transform when the default
+        # backend is a TPU (it is the keyswitch bottleneck: the XLA path
+        # round-trips every butterfly stage through HBM, and its unrolled
+        # butterfly stages make per-op programs large enough to choke the
+        # remote compiler); CPU tests keep the XLA path unless a test opts
+        # in (the kernel runs in interpret mode off-TPU).
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            backend = "cpu"
+        if ntt_impl == "auto":
+            ntt_impl = "pallas" if backend == "tpu" and p.logn >= 9 else "xla"
+        assert ntt_impl in ("xla", "pallas"), ntt_impl
+        self.ntt_impl = ntt_impl
+        self._pl_interpret = backend != "tpu"
+        self.ptables: PallasNttTables | None = (
+            build_pallas_tables(self.tables, lanes=min(128, p.n // 16))
+            if ntt_impl == "pallas"
+            else None
+        )
 
         # --- per-prime Montgomery constants (numpy, sliced per level) ------
         mc = mont_constants(p.all_primes)
@@ -172,6 +196,50 @@ class CkksContext:
 
     def _tab(self, l: int) -> NttTables:
         return self._tables_rows(tuple(range(l)))
+
+    def _ptables_rows(self, rows: tuple[int, ...]) -> PallasNttTables:
+        if isinstance(self.ptables.tw1, np.ndarray):
+            return self._ptables_rows_np(rows)
+        # traced state (jit_fn): tables arrive as tracer arguments; gather
+        # rows in-graph so the program carries no multi-MB constants.
+        idx = jnp.asarray(rows, jnp.int32)
+        t = self.ptables
+        return PallasNttTables(
+            *(jnp.take(x, idx, axis=0) for x in t[:7]),
+            logn=t.logn,
+            lanes=t.lanes,
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def _ptables_rows_np(self, rows: tuple[int, ...]) -> PallasNttTables:
+        idx = np.asarray(rows, np.int64)
+        t = self.ptables
+        return PallasNttTables(
+            tw1=t.tw1[idx],
+            tw2=t.tw2[idx],
+            twi2=t.twi2[idx],
+            twi1=t.twi1[idx],
+            ninv=t.ninv[idx],
+            q=t.q[idx],
+            q_neg_inv=t.q_neg_inv[idx],
+            logn=t.logn,
+            lanes=t.lanes,
+        )
+
+    # -- NTT dispatch: every device-path transform goes through these -----
+    def _ntt(self, x, rows: tuple[int, ...]):
+        if self.ntt_impl == "pallas":
+            return ntt_pl(
+                x, self._ptables_rows(rows), interpret=self._pl_interpret
+            )
+        return ntt(x, self._tables_rows(rows))
+
+    def _intt(self, x, rows: tuple[int, ...]):
+        if self.ntt_impl == "pallas":
+            return intt_pl(
+                x, self._ptables_rows(rows), interpret=self._pl_interpret
+            )
+        return intt(x, self._tables_rows(rows))
 
     @functools.lru_cache(maxsize=None)
     def _qrows(self, rows: tuple[int, ...]):
@@ -616,11 +684,11 @@ class CkksContext:
         mu = jnp.asarray(self._mu_np[:d])[:, None]
         qmod = jnp.asarray(self._qmod[d, :d])[:, None]
         invq = jnp.asarray(self._invq_mont[d, :d])[:, None]
-        last = intt(data[..., d : d + 1, :], self._tables_rows((d,)))
+        last = self._intt(data[..., d : d + 1, :], (d,))
         half = jnp.uint32((qd + 1) // 2)
         r = barrett_reduce(last, q, mu)
         r = jnp.where(last >= half, sub_mod(r, qmod, q), r)
-        r_ntt = ntt(r, self._tab(d))
+        r_ntt = self._ntt(r, tuple(range(d)))
         return mont_mul(sub_mod(data[..., :d, :], r_ntt, q), invq, q, qi)
 
     # -- key switching ---------------------------------------------------
@@ -645,9 +713,8 @@ class CkksContext:
         p = self.params
         k = self.K
         ext_rows = self._rows_ext(l)
-        t_ext = self._tables_rows(ext_rows)
         q_ext, qi_ext, _ = self._qrows(ext_rows)
-        a_coeff = intt(a, self._tab(l))
+        a_coeff = self._intt(a, tuple(range(l)))
         key_rows = np.asarray(ext_rows, np.int64)
         acc0 = None
         acc1 = None
@@ -658,7 +725,7 @@ class CkksContext:
                 break
             conv = self._conv_group(g0, m, l)
             ext = base_convert(a_coeff[..., g0 : g0 + m, :], conv)
-            ext = ntt(ext, t_ext)
+            ext = self._ntt(ext, ext_rows)
             k0 = ksk[j, 0][key_rows]
             k1 = ksk[j, 1][key_rows]
             t0 = mont_mul(ext, k0, q_ext, qi_ext)
@@ -670,9 +737,9 @@ class CkksContext:
     def _mod_down(self, x: jnp.ndarray, l: int) -> jnp.ndarray:
         """Divide by P: x over Q_l*P [..., l+K, N] -> [..., l, N], NTT."""
         spec_rows = tuple(range(self.L, self.n_all))
-        xs = intt(x[..., l:, :], self._tables_rows(spec_rows))
+        xs = self._intt(x[..., l:, :], spec_rows)
         conv = base_convert(xs, self._conv_special(l))
-        conv = ntt(conv, self._tab(l))
+        conv = self._ntt(conv, tuple(range(l)))
         q, qi, _ = self._ql(l)
         pinv = jnp.asarray(self._pinv_mont[:l])[:, None]
         return mont_mul(sub_mod(x[..., :l, :], conv, q), pinv, q, qi)
@@ -695,7 +762,9 @@ class CkksContext:
         from dataclasses import replace
 
         return replace(
-            ct, data=intt(ct.data, self._tab(ct.n_limbs)), ntt=False
+            ct,
+            data=self._intt(ct.data, tuple(range(ct.n_limbs))),
+            ntt=False,
         )
 
     def to_eval(self, ct: Ciphertext) -> Ciphertext:
@@ -705,7 +774,9 @@ class CkksContext:
         from dataclasses import replace
 
         return replace(
-            ct, data=ntt(ct.data, self._tab(ct.n_limbs)), ntt=True
+            ct,
+            data=self._ntt(ct.data, tuple(range(ct.n_limbs))),
+            ntt=True,
         )
 
     def bootstrap_stats(self) -> dict:
@@ -723,6 +794,13 @@ class CkksContext:
         if self._jnp_state is None:
             self._jnp_state = {
                 "tables": NttTables(*(jnp.asarray(x) for x in self.tables)),
+                # arrays only: logn/lanes are static and rebound at swap
+                # time (as pytree leaves they would turn into tracers)
+                "ptables_arrays": (
+                    tuple(jnp.asarray(x) for x in self.ptables[:7])
+                    if self.ptables is not None
+                    else None
+                ),
                 "pnh": self._pnh_mont,
                 "keys": {
                     "secret_mont": self.keys.secret_mont,
@@ -735,8 +813,20 @@ class CkksContext:
         return self._jnp_state
 
     def _swap_state(self, st):
-        old = (self.tables, self._pnh_mont, self.keys, self._traced_mode)
+        old = (
+            self.tables,
+            self.ptables,
+            self._pnh_mont,
+            self.keys,
+            self._traced_mode,
+        )
         self.tables = st["tables"]
+        if st.get("ptables_arrays") is not None:
+            self.ptables = PallasNttTables(
+                *st["ptables_arrays"],
+                logn=self.ptables.logn,
+                lanes=self.ptables.lanes,
+            )
         self._pnh_mont = st["pnh"]
         k = st["keys"]
         self.keys = KeySet(
@@ -752,6 +842,7 @@ class CkksContext:
     def _restore_state(self, old):
         (
             self.tables,
+            self.ptables,
             self._pnh_mont,
             self.keys,
             self._traced_mode,
@@ -837,13 +928,12 @@ class CkksContext:
     def _rotate_many_impl(self, data, ksks, l: int, gs: tuple[int, ...]):
         p = self.params
         ext_rows = self._rows_ext(l)
-        t_ext = self._tables_rows(ext_rows)
         q_ext, qi_ext, _ = self._qrows(ext_rows)
         q, _, _ = self._ql(l)
         key_rows = np.asarray(ext_rows, np.int64)
         b, a = data[..., 0, :, :], data[..., 1, :, :]
         # shared decomposition of the *unrotated* a-part
-        a_coeff = intt(a, self._tab(l))
+        a_coeff = self._intt(a, tuple(range(l)))
         exts = []
         for j, grp in enumerate(p.groups):
             g0 = grp[0]
@@ -852,7 +942,7 @@ class CkksContext:
                 break
             conv = self._conv_group(g0, m, l)
             ext = base_convert(a_coeff[..., g0 : g0 + m, :], conv)
-            exts.append((j, ntt(ext, t_ext)))
+            exts.append((j, self._ntt(ext, ext_rows)))
         outs = []
         for gi, g in enumerate(gs):
             if g == 1:

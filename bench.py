@@ -23,8 +23,15 @@ import time
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/aes_fhe_tpu_jax_cache")
+# Persistent compile cache *inside the repo* so it survives across driver
+# rounds (the remote TPU compiler here takes ~0.7 s per tiny program and
+# minutes for large ones; warmup dominated early benches).
+import os as _os
+
+_CACHE = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def log(*a):

@@ -15,7 +15,8 @@ REF_COEFF = Path("/root/reference/gen/coeff")
 
 def test_roundtrip(tmp_path):
     files = luts_io.write_all_coeff_files(tmp_path)
-    assert len(files) == 1 + 14 + 4 + 1
+    # xor4 + 7 gf-mults x2 + sbox/inv-sbox hi+lo + lift16 + zeta16-snap
+    assert len(files) == 1 + 14 + 4 + 1 + 1
     back = luts_io.load_coeff2d(tmp_path / "xor4_coeffs.json", (16, 16))
     np.testing.assert_allclose(back, luts.xor4_coeffs(), atol=1e-12)
     hi = luts_io.load_coeff1d(tmp_path / "mod256_to_16_hi_coeffs.json", 256)

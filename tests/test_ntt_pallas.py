@@ -59,3 +59,54 @@ def test_pallas_ntt_batched(rng):
         np.asarray(ntt_pl(aj, pt, interpret=True)),
         np.asarray(ntt_jit(aj, t)),
     )
+
+def test_pallas_context_bit_exact_verbs(rng):
+    """A context with ntt_impl='pallas' (interpret mode on CPU) produces
+    bit-identical ciphertexts to the XLA path through the compound verbs
+    that embed NTTs: multiply (tensor+relin+rescale), rotate, conjugate,
+    to_coeff/to_eval, and hoisted rotate_many."""
+    from aes_fhe_tpu.params import make_params
+    from aes_fhe_tpu.ckks import CkksContext
+
+    params = make_params(logn=8, n_level_primes=8, dnum=3)
+    ctxs = [
+        CkksContext(params, seed=3, rotations=(1, 5), ntt_impl=impl)
+        for impl in ("xla", "pallas")
+    ]
+    vals = rng.standard_normal(params.n_slots) * 0.5
+    outs = []
+    for ctx in ctxs:
+        # identical seed => identical sampled randomness => identical cts
+        a = ctx.encrypt(vals)
+        b = ctx.encrypt(vals + 0.25)
+        m = ctx.multiply(a, b, drop=1)
+        r = ctx.rotate(m, 5)
+        c = ctx.conjugate(r)
+        c = ctx.to_eval(ctx.to_coeff(c))
+        h = ctx.rotate_many(a, [1, 5])
+        outs.append((np.asarray(c.data), [np.asarray(x.data) for x in h]))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    for x, y in zip(outs[0][1], outs[1][1]):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_pallas_under_jit_fn(rng):
+    """Whole-program jit (jit_fn: keys/tables threaded as arguments) with the
+    Pallas NTT dispatch: tables must arrive as tracers (no giant constants)
+    and results must match the eager pallas path bit-exactly."""
+    from aes_fhe_tpu.params import make_params
+    from aes_fhe_tpu.ckks import CkksContext
+
+    params = make_params(logn=8, n_level_primes=8, dnum=3)
+    ctx = CkksContext(params, seed=3, rotations=(5,), ntt_impl="pallas")
+    vals = rng.standard_normal(params.n_slots) * 0.5
+    a = ctx.encrypt(vals)
+    b = ctx.encrypt(vals + 0.25)
+
+    def f(a, b):
+        return ctx.rotate(ctx.multiply(a, b, drop=1), 5)
+
+    want = f(a, b)
+    got = ctx.jit_fn(f, fallback=False)(a, b)
+    np.testing.assert_array_equal(np.asarray(got.data), np.asarray(want.data))
+    assert got.scale == want.scale
