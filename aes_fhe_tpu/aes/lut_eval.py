@@ -163,8 +163,18 @@ def eval_lut_2d(
     if delta_out is None:
         delta_out = ctx.default_scale()
     coeffs = np.asarray(coeffs, np.complex128)
-    P, Q = coeffs.shape
-    nz = np.abs(coeffs) > 1e-11
+    # Batched coefficient sets [B, P, Q]: evaluate B different LUTs over the
+    # SAME power bases in one pass — scalar multiplies carry a [B] batch axis
+    # (ctx.mul_scalar_batched) and the result is a [B, ...]-batched
+    # ciphertext.  Power sets are unioned over the batch.
+    batched = coeffs.ndim == 3
+    if batched:
+        B = coeffs.shape[0]
+        P, Q = coeffs.shape[1:]
+        nz = (np.abs(coeffs) > 1e-11).any(axis=0)
+    else:
+        P, Q = coeffs.shape
+        nz = np.abs(coeffs) > 1e-11
 
     used = [
         basis_x[p] for p in range(P) if nz[p].any() and basis_x[p] is not None
@@ -190,9 +200,23 @@ def eval_lut_2d(
     def al(c: Ciphertext) -> Ciphertext:
         return ctx.drop_limbs(c, c.n_limbs - l_work)
 
+    def cvec(p: int, q: int):
+        """Coefficient(s) at (p, q): complex scalar, or [B] vector batched."""
+        return coeffs[:, p, q] if batched else complex(coeffs[p, q])
+
+    def mul_c(c: Ciphertext, v, s: Fraction) -> Ciphertext:
+        if batched:
+            return ctx.mul_scalar_batched(c, v, s)
+        return ctx.mul_scalar(c, v, s)
+
+    def add_c(c: Ciphertext, v) -> Ciphertext:
+        if batched:
+            return ctx.add_const_batched(c, v)
+        return ctx.add_const(c, v)
+
     acc3: Ciphertext | None = None   # 3-poly tensor accumulation
     acc2: Ciphertext | None = None   # 2-poly scalar accumulation
-    const_total = 0.0 + 0.0j
+    const_total = np.zeros(B, np.complex128) if batched else 0.0 + 0.0j
 
     def acc2_add(term: Ciphertext) -> None:
         nonlocal acc2
@@ -207,31 +231,32 @@ def eval_lut_2d(
             # identity X: scalar-accumulate the Y powers directly
             for q in row_qs:
                 if basis_y[q] is None:
-                    const_total += complex(coeffs[p, q])
+                    const_total += cvec(p, q)
                 else:
                     acc2_add(
-                        ctx.mul_scalar(
+                        mul_c(
                             al(basis_y[q]),
-                            complex(coeffs[p, q]),
+                            cvec(p, q),
                             s_pre / basis_y[q].scale,
                         )
                     )
             continue
         inner_qs = [q for q in row_qs if basis_y[q] is not None]
-        c_p0 = complex(coeffs[p, 0]) if nz[p, 0] and basis_y[0] is None else 0.0
+        has_c_p0 = nz[p, 0] and basis_y[0] is None
+        c_p0 = cvec(p, 0) if has_c_p0 else (0.0 if not batched else None)
         if not inner_qs:
             # row is only the constant term: fold into the 2-poly side
-            acc2_add(ctx.mul_scalar(al(xp), c_p0, s_pre / xp.scale))
+            acc2_add(mul_c(al(xp), c_p0, s_pre / xp.scale))
             continue
         s_u = s_pre / xp.scale
         u: Ciphertext | None = None
         for q in inner_qs:
-            term = ctx.mul_scalar(
-                al(basis_y[q]), complex(coeffs[p, q]), s_u / basis_y[q].scale
+            term = mul_c(
+                al(basis_y[q]), cvec(p, q), s_u / basis_y[q].scale
             )
             u = term if u is None else ctx.add(u, term)
-        if c_p0:
-            u = ctx.add_const(u, c_p0)
+        if has_c_p0:
+            u = add_c(u, c_p0)
         t = ctx.tensor(al(xp), u)
         acc3 = t if acc3 is None else ctx.add(acc3, t)
 
@@ -241,8 +266,8 @@ def eval_lut_2d(
             res = ctx.add(res, acc2)
     else:
         res = acc2
-    if const_total:
-        res = ctx.add_const(res, const_total)
+    if (np.abs(const_total).max() if batched else abs(const_total)) > 0:
+        res = add_c(res, const_total)
     res = ctx.rescale(res, n_drop)
     assert res.scale == delta_out, (res.scale, delta_out)
     return res

@@ -27,9 +27,10 @@ from __future__ import annotations
 from fractions import Fraction
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..ckks.context import CkksContext
-from ..ckks.types import Ciphertext, Plaintext
+from ..ckks.types import Ciphertext, Plaintext, stack_cts, unstack_cts
 from . import luts
 from .lut_eval import build_power_basis, eval_lut_2d
 
@@ -49,8 +50,6 @@ __all__ = [
 ]
 
 CtPair = tuple[Ciphertext, Ciphertext]
-
-MASK_SCALE = Fraction(1 << 29)
 
 
 def rotation_steps_required(stride: int) -> list[int]:
@@ -100,7 +99,17 @@ class Xor4:
         return self._fwd(a, b)
 
     def pair(self, x: CtPair, y: CtPair) -> CtPair:
-        return self(x[0], y[0]), self(x[1], y[1])
+        """XOR both nibbles of a state pair: hi/lo stacked on a leading batch
+        axis so the whole LUT evaluation runs once on doubled data (the
+        coefficients are identical for both nibbles)."""
+        try:
+            a = stack_cts(self.ctx.align(x[0], x[1]))
+            b = stack_cts(self.ctx.align(y[0], y[1]))
+        except AssertionError:
+            return self(x[0], y[0]), self(x[1], y[1])
+        out = self(a, b)
+        o0, o1 = unstack_cts(out)
+        return o0, o1
 
 
 class AddRoundKey:
@@ -189,12 +198,16 @@ class SubBytes:
         ctx = self.ctx
         giants = [None] + [basis[16 * j] for j in range(1, 9)]
         babies = _basis_list(basis, 16)
-        # 4) four accumulations, two conjugation folds
-        out = []
-        for low, high in ((self.low_hi, self.high_hi), (self.low_lo, self.high_lo)):
-            r = eval_lut_2d(ctx, low, giants, babies)
-            q = eval_lut_2d(ctx, high, giants, babies)
-            out.append(ctx.add(r, ctx.conjugate(q)))
+        # 4) both dual-poly accumulations ride the shared basis as ONE
+        # batched evaluation each (hi/lo stacked coefficients), and the two
+        # conj-folded high halves share a single conjugation key switch
+        r = eval_lut_2d(
+            ctx, np.stack([self.low_hi, self.low_lo]), giants, babies
+        )
+        q = eval_lut_2d(
+            ctx, np.stack([self.high_hi, self.high_lo]), giants, babies
+        )
+        out = unstack_cts(ctx.add(r, ctx.conjugate(q)))
         return out[0], out[1]
 
 
@@ -245,25 +258,46 @@ class ShiftRows:
                 4 * r + c for c in range(4 - shift, 4)
             )
         self.deltas = sorted(d for d in dest if d != 0)
-        self.masks: dict[int, Plaintext] = {
-            d: ctx.encode_plain(block_mask(idx), MASK_SCALE, full_limbs)
-            for d, idx in dest.items()
-        }
+        self._mask_vals = {d: block_mask(idx) for d, idx in dest.items()}
+        # Masks are encoded lazily at scale EXACTLY q_{l-1} (the prime the
+        # following rescale drops), so ShiftRows preserves the input scale
+        # bit-exactly — keeping every AES op's inputs at the working scale,
+        # which is what lets the MixColumns XOR tree batch its operands.
+        self._mask_cache: dict[int, dict[int, Plaintext]] = {}
         self._one = ctx.jit_fn(self._one_impl) if use_jit else self._one_impl
+
+    def _masks_for(self, l: int) -> dict[int, Plaintext]:
+        if l not in self._mask_cache:
+            s = Fraction(self.ctx.params.moduli[l - 1])
+            self._mask_cache[l] = {
+                d: self.ctx.encode_plain(v, s, l)
+                for d, v in self._mask_vals.items()
+            }
+        # upgrade numpy-backed entries to device arrays when legal (encoding
+        # may first happen mid-trace, where device_put would leak tracers)
+        self._mask_cache[l] = {
+            d: self.ctx.plain_device(pt)
+            for d, pt in self._mask_cache[l].items()
+        }
+        return self._mask_cache[l]
 
     def one(self, ct: Ciphertext) -> Ciphertext:
         return self._one(ct)
 
     def _one_impl(self, ct: Ciphertext) -> Ciphertext:
         ctx = self.ctx
+        masks = self._masks_for(ct.n_limbs)
         rots = ctx.rotate_many(ct, self.deltas)
-        acc = ctx.mul_plain(ct, self.masks[0])
+        acc = ctx.mul_plain(ct, masks[0])
         for d, rt in zip(self.deltas, rots):
-            acc = ctx.add(acc, ctx.mul_plain(rt, self.masks[d]))
+            acc = ctx.add(acc, ctx.mul_plain(rt, masks[d]))
         return ctx.rescale(acc, 1)
 
     def __call__(self, state: CtPair) -> CtPair:
-        return self.one(state[0]), self.one(state[1])
+        """Both nibbles stacked: one rotation/mask pass on doubled data."""
+        out = self.one(stack_cts(self.ctx.align(*state)))
+        o0, o1 = unstack_cts(out)
+        return o0, o1
 
 
 class _GfMixBase:
@@ -285,12 +319,12 @@ class _GfMixBase:
 
     def _rots(self, state: CtPair) -> list[CtPair]:
         """[rot1, rot2, rot3]: align a_{r+k,c} onto (r,c) for k=1..3 —
-        global rotations by -4k*stride, hoisted (one shared decomposition
-        per ciphertext)."""
+        global rotations by -4k*stride, hoisted (one shared gadget
+        decomposition for all three rotations of the stacked hi/lo pair)."""
         ds = [-4 * k * self.stride for k in (1, 2, 3)]
-        his = self.ctx.rotate_many(state[0], ds)
-        los = self.ctx.rotate_many(state[1], ds)
-        return list(zip(his, los))
+        st = stack_cts(self.ctx.align(*state))
+        rots = self.ctx.rotate_many(st, ds)
+        return [tuple(unstack_cts(r)) for r in rots]
 
     def _gf_mult(self, state: CtPair, k: int) -> CtPair:
         if self.use_jit:
@@ -310,22 +344,60 @@ class _GfMixBase:
         bx = build_power_basis(self.ctx, state[0], need_p, mirror=16)
         by = build_power_basis(self.ctx, state[1], need_q, mirror=16)
         bxl, byl = _basis_list(bx, 16), _basis_list(by, 16)
-        return (
-            eval_lut_2d(self.ctx, hi_c, bxl, byl),
-            eval_lut_2d(self.ctx, lo_c, bxl, byl),
+        out = unstack_cts(
+            eval_lut_2d(self.ctx, np.stack([hi_c, lo_c]), bxl, byl)
         )
+        return out[0], out[1]
+
+    def _gf_mults(self, states: list[CtPair], ks: list[int]) -> list[CtPair]:
+        """GF-constant multipliers for several (state, k) pairs at once.
+
+        All states share scale/limbs (they are rotations of one state), so
+        the hi operands stack into one batched ciphertext (likewise lo) and
+        the 2*len(ks) coefficient sets ride the SAME two power bases as one
+        batched LUT evaluation — e.g. InvMixColumns' 8 bivariate evals
+        (reference: invmixcolumns_fhe.py:131-170) collapse to 2 basis builds
+        + 1 batched accumulation."""
+        ctx = self.ctx
+        coeff_sets = []
+        for k in ks:
+            hi_c, lo_c = luts.gf_mult_coeffs(k)
+            coeff_sets += [hi_c, lo_c]
+        coeffs = np.stack(coeff_sets)  # [2*B, 16, 16]
+        need_p = set().union(*(_nz_axes(c)[0] for c in coeff_sets))
+        need_q = set().union(*(_nz_axes(c)[1] for c in coeff_sets))
+        # interleave per-k batch entries: X operand for entry (2i) is
+        # states[i].hi, for (2i+1) is states[i].lo? No — every coefficient
+        # set takes (hi, lo) of ITS state: X basis from hi, Y from lo.
+        his = stack_cts([s[0] for s in states])  # [B, ...]
+        los = stack_cts([s[1] for s in states])
+        bx = build_power_basis(ctx, his, need_p, mirror=16)
+        by = build_power_basis(ctx, los, need_q, mirror=16)
+        # batch layout: coefficient entry 2i+j must pair with state i.  The
+        # bases are [B, ...]; expand each to [2B, ...] by repeating along the
+        # batch so entry 2i+j sees state i's powers.
+        def rep(c: Ciphertext | None) -> Ciphertext | None:
+            if c is None:
+                return None
+            return c.with_data(
+                jnp.repeat(c.data, 2, axis=0)
+            )
+        bxl = [rep(c) for c in _basis_list(bx, 16)]
+        byl = [rep(c) for c in _basis_list(by, 16)]
+        out = unstack_cts(eval_lut_2d(ctx, coeffs, bxl, byl))
+        return [(out[2 * i], out[2 * i + 1]) for i in range(len(ks))]
 
 
 class MixColumns(_GfMixBase):
     """b = 2a XOR 3*rot1(a) XOR rot2(a) XOR rot3(a) — the diagonal
     decomposition (reference: mixcol_final.py:112-165, README.md:26-27), with
     a balanced XOR tree (depth 2 instead of the reference's sequential
-    chain)."""
+    chain).  The two GF LUTs and each XOR level run as single batched
+    evaluations."""
 
     def __call__(self, state: CtPair) -> CtPair:
         r1, r2, r3 = self._rots(state)
-        t2 = self._gf_mult(state, 2)
-        t3 = self._gf_mult(r1, 3)
+        t2, t3 = self._gf_mults([state, r1], [2, 3])
         left = self.xor4.pair(t2, t3)
         right = self.xor4.pair(r2, r3)
         return self.xor4.pair(left, right)
@@ -334,14 +406,15 @@ class MixColumns(_GfMixBase):
 class InvMixColumns(_GfMixBase):
     """b = 14a XOR 11*rot1 XOR 13*rot2 XOR 9*rot3 (reference:
     invmixcolumns_fhe.py:131-170).  Present and *wired into decryption* —
-    the reference's committed decrypt dropped it (SURVEY.md quirk Q1)."""
+    the reference's committed decrypt dropped it (SURVEY.md quirk Q1).
+    All 8 GF LUT evaluations batch into one pass; the XOR tree batches
+    4-wide then 2-wide."""
 
     def __call__(self, state: CtPair) -> CtPair:
         r1, r2, r3 = self._rots(state)
-        t14 = self._gf_mult(state, 14)
-        t11 = self._gf_mult(r1, 11)
-        t13 = self._gf_mult(r2, 13)
-        t9 = self._gf_mult(r3, 9)
+        t14, t11, t13, t9 = self._gf_mults(
+            [state, r1, r2, r3], [14, 11, 13, 9]
+        )
         left = self.xor4.pair(t14, t11)
         right = self.xor4.pair(t13, t9)
         return self.xor4.pair(left, right)
@@ -375,7 +448,9 @@ class Snap:
         return eval_lut_2d(ctx, coeffs, [None], by)
 
     def pair(self, state: CtPair) -> CtPair:
-        return self.one(state[0]), self.one(state[1])
+        out = self.one(stack_cts(self.ctx.align(*state)))
+        o0, o1 = unstack_cts(out)
+        return o0, o1
 
 
 class SnapNoMul:
@@ -408,7 +483,9 @@ class SnapNoMul:
         return eval_lut_2d(ctx, coeffs, [None], by)
 
     def pair(self, state: CtPair) -> CtPair:
-        return self.one(state[0]), self.one(state[1])
+        out = self.one(stack_cts(self.ctx.align(*state)))
+        o0, o1 = unstack_cts(out)
+        return o0, o1
 
 
 class NoiseReducer:
@@ -437,7 +514,9 @@ class NoiseReducer:
         return eval_lut_2d(ctx, coeffs, [None], by)
 
     def pair(self, state: CtPair) -> CtPair:
-        return self.one(state[0]), self.one(state[1])
+        out = self.one(stack_cts(self.ctx.align(*state)))
+        o0, o1 = unstack_cts(out)
+        return o0, o1
 
 
 class Snap1D:
@@ -481,4 +560,6 @@ class Snap1D:
         return eval_lut_2d(ctx, self.coeffs, [None], by)
 
     def pair(self, state: CtPair) -> CtPair:
-        return self.one(state[0]), self.one(state[1])
+        out = self.one(stack_cts(self.ctx.align(*state)))
+        o0, o1 = unstack_cts(out)
+        return o0, o1

@@ -32,7 +32,15 @@ import jax.numpy as jnp
 
 from ..params import CkksParams
 from ..core.modular import add_mod, sub_mod, neg_mod, mont_mul, mont_constants
-from ..core.ntt import NttTables, build_ntt_tables, ntt, intt, bit_reverse_perm
+from ..core.ntt import (
+    NttTables,
+    build_ntt_tables,
+    ntt,
+    intt,
+    ntt_host,
+    _host_mont_mul,
+    bit_reverse_perm,
+)
 from ..core.ntt_pallas import PallasNttTables, build_pallas_tables, ntt_pl, intt_pl
 from ..core.rns import ConvTables, make_conv_tables, base_convert
 from ..core.modular import barrett_reduce
@@ -41,9 +49,7 @@ from .types import Ciphertext, Plaintext
 from .keys import (
     KeySet,
     sample_keys_host,
-    sample_galois_parts,
     small_poly_residues,
-    uniform_ntt,
     gadget_residues,
     _gaussian_coeffs,
     _ternary_coeffs,
@@ -52,6 +58,18 @@ from .keys import (
 __all__ = ["CkksContext"]
 
 _R = 1 << 32
+
+
+def _trace_state_clean() -> bool:
+    """True when no jit trace is in progress (safe to create device arrays
+    for host-side caches).  Falls back to False (= keep numpy) if the
+    private API moves."""
+    try:
+        from jax._src import core as _jcore
+
+        return bool(_jcore.trace_state_clean())
+    except Exception:
+        return False
 
 
 def _u32(x) -> np.ndarray:
@@ -90,6 +108,9 @@ class CkksContext:
         # arrays enter traced computations as constants.
         t = build_ntt_tables(p.all_primes, p.logn)
         self.tables = NttTables(*(np.asarray(x) for x in t))
+        # permanent numpy copy: host-side encoding must stay trace-free even
+        # while jit_fn has swapped self.tables for traced arguments
+        self._tables_np_full = self.tables
 
         # --- NTT implementation: fused Pallas kernel on real TPUs ----------
         # "auto" picks the VMEM-resident Pallas transform when the default
@@ -155,6 +176,13 @@ class CkksContext:
 
         # --- keys -----------------------------------------------------------
         self._rng = np.random.default_rng(seed)
+        # Device-side PRNG root for the *uniform* key components: sampling
+        # [J, L+K, N] uniform polys host-side and shipping them cost ~40 MB
+        # per switching key over this environment's ~30 MB/s tunnel; the
+        # threefry sampler generates them on-chip from a 64-bit key instead.
+        self._jroot = jax.random.PRNGKey(int(self._rng.integers(1 << 62)))
+        self._jkey_counter = 0
+        self._g_mont_np: np.ndarray | None = None
         self.keys = self._keygen()
         self.add_galois_keys(
             [self.galois_element_for_rotation(r) for r in rotations]
@@ -185,7 +213,7 @@ class CkksContext:
     @functools.lru_cache(maxsize=None)
     def _tables_rows_np(self, rows: tuple[int, ...]) -> NttTables:
         idx = np.asarray(rows, np.int64)
-        t = self.tables
+        t = self._tables_np_full
         return NttTables(
             psi=t.psi[idx],
             psi_inv=t.psi_inv[idx],
@@ -351,6 +379,20 @@ class CkksContext:
         t = self._tables_rows(rows)
         return ntt_jit_rows(jnp.asarray(res), t)
 
+    def _next_jkey(self) -> jnp.ndarray:
+        self._jkey_counter += 1
+        return jax.random.fold_in(self._jroot, self._jkey_counter)
+
+    def _g_mont(self) -> np.ndarray:
+        """Gadget factors g_j * R mod c: [J, L+K, 1] u32 (trace-safe const)."""
+        if self._g_mont_np is None:
+            gadget = gadget_residues(self.params)  # [J, L+K] standard
+            self._g_mont_np = _u32(
+                (gadget.astype(np.uint64) << np.uint64(32))
+                % self._q_np.astype(np.uint64)[None, :]
+            )[:, :, None]
+        return self._g_mont_np
+
     def _keygen(self) -> KeySet:
         p = self.params
         raw = sample_keys_host(p, self._rng, self.secret_hamming)
@@ -362,56 +404,84 @@ class CkksContext:
         s_mont = mont_mul(s_ntt, r2, q, qi)
         self._s_mont = s_mont  # used by _make_switching_key
 
-        # public key over Q only
-        lq, lqi, lr2 = self._ql(self.L)
-        a = jnp.asarray(raw["pk_a_ntt"])
-        e = self._ntt_host_rows(
-            small_poly_residues(raw["pk_e_coeff"], p.moduli), tuple(range(self.L))
+        # public key over Q only: a sampled on device, e shipped as coeffs
+        if "pk" not in self._ks_jit:
+            self._ks_jit["pk"] = jax.jit(self._pk_impl)
+        pk_mont = self._ks_jit["pk"](
+            self._next_jkey(),
+            jnp.asarray(raw["pk_e_coeff"], jnp.int32),
+            s_mont[: self.L],
         )
-        b = add_mod(
-            neg_mod(mont_mul(a, s_mont[: self.L], lq, lqi), lq), e, lq
-        )
-        pk = jnp.stack([b, a])
-        pk_mont = mont_mul(pk, lr2, lq, lqi)
 
         # relinearization key: switch s^2 -> s
         s2_std = mont_mul(s_ntt, s_mont, q, qi)  # s x s*R / R = s^2, standard
-        rlk = self._make_switching_key(
-            s2_std, raw["rlk_a_ntt"], raw["rlk_e_coeff"]
-        )
+        rlk = self._make_switching_key(s2_std)
         return KeySet(
             secret_mont=s_mont, secret_ntt=s_ntt, pk=pk_mont, relin=rlk
         )
 
-    def _make_switching_key(
-        self, target_ntt: jnp.ndarray, a_ntt: np.ndarray, e_coeff: np.ndarray
-    ) -> jnp.ndarray:
+    def _uniform_device(self, jkey, shape, q, qi, r2, mu):
+        """Uniform residues in [0, q) sampled on device: a 64-bit string per
+        lane, reduced as hi*2^32 + lo mod q (bias <= q/2^64).  q/qi/r2/mu are
+        [rows, 1] and broadcast against ``shape`` = [..., rows, N]."""
+        bits = jax.random.bits(jkey, (2, *shape), dtype=jnp.uint32)
+        hi = mont_mul(bits[0], r2, q, qi)  # hi * R^2 / R = hi * 2^32 mod q
+        lo = barrett_reduce(bits[1], q, mu)
+        return add_mod(hi, lo, q)
+
+    def _small_residues_traced(self, e32: jnp.ndarray, rows) -> jnp.ndarray:
+        """Signed small coeffs [..., N] int32 -> residues [..., rows, N] u32
+        (device-side small_poly_residues; avoids shipping [rows, N] arrays)."""
+        q_i32 = np.asarray(self._q_np[list(rows)], np.int32)[:, None]
+        e = e32[..., None, :]
+        return jnp.where(e < 0, e + q_i32, e).astype(jnp.uint32)
+
+    def _pk_impl(self, jkey, e32, s_mont_q):
+        p = self.params
+        rows = tuple(range(self.L))
+        q, qi, r2 = self._ql(self.L)
+        mu = self._mu_np[: self.L][:, None]
+        a = self._uniform_device(jkey, (self.L, p.n), q, qi, r2, mu)
+        e = self._ntt(self._small_residues_traced(e32, rows), rows)
+        b = add_mod(neg_mod(mont_mul(a, s_mont_q, q, qi), q), e, q)
+        return mont_mul(jnp.stack([b, a]), r2, q, qi)
+
+    def _make_switching_key(self, target_ntt: jnp.ndarray) -> jnp.ndarray:
         """ksk_j = (-a_j s + e_j + g_j * target, a_j) over Q*P, Montgomery.
 
         ``target_ntt``: the source secret (s^2 or sigma_g(s)) in NTT domain,
-        *standard* form.
+        *standard* form.  The uniform a_j are sampled on device and the small
+        e_j shipped as coefficients; the whole construction is ONE jitted
+        program reused for the relin key and every Galois key (the previous
+        per-group eager version cost hundreds of dispatches + ~40 MB of
+        transfers per key).
         """
         p = self.params
+        J = len(p.groups)
+        e32 = np.rint(
+            self._rng.normal(0.0, 3.2, size=(J, p.n))
+        ).astype(np.int32)
+        if "mksk" not in self._ks_jit:
+            self._ks_jit["mksk"] = jax.jit(self._mksk_impl)
+        return self._ks_jit["mksk"](
+            self._next_jkey(), target_ntt, jnp.asarray(e32), self._s_mont
+        )
+
+    def _mksk_impl(self, jkey, target_ntt, e32, s_mont):
+        p = self.params
+        J = len(p.groups)
         all_rows = tuple(range(self.n_all))
         q, qi, r2 = self._qrows(all_rows)
-        gadget = gadget_residues(p)  # [J, L+K] standard form
-        out = []
-        for j in range(len(p.groups)):
-            a = jnp.asarray(a_ntt[j])
-            e = self._ntt_host_rows(
-                small_poly_residues(e_coeff[j], p.all_primes), all_rows
-            )
-            g_mont = jnp.asarray(
-                _u32(
-                    (gadget[j].astype(np.uint64) << np.uint64(32))
-                    % self._q_np.astype(np.uint64)
-                )
-            )[:, None]
-            gs = mont_mul(target_ntt, g_mont, q, qi)  # g_j * target, standard
-            neg_as = neg_mod(mont_mul(a, self._s_mont, q, qi), q)
-            b = add_mod(add_mod(neg_as, e, q), gs, q)
-            out.append(jnp.stack([b, a]))
-        ksk = jnp.stack(out)  # [J, 2, L+K, N]
+        mu = self._mu_np[:, None]
+        a = self._uniform_device(
+            jkey, (J, self.n_all, p.n), q, qi, r2, mu
+        )
+        e = self._ntt(self._small_residues_traced(e32, all_rows), all_rows)
+        g_mont = self._g_mont()  # [J, rows, 1] numpy const
+        gs = mont_mul(target_ntt[None], g_mont, q, qi)
+        neg_as = neg_mod(mont_mul(a, s_mont[None], q, qi), q)
+        b = add_mod(add_mod(neg_as, e, q), gs, q)
+        ksk = jnp.stack([b, a], axis=1)  # [J, 2, L+K, N]
         return mont_mul(ksk, r2, q, qi)
 
     def add_galois_keys(self, elements) -> None:
@@ -424,10 +494,7 @@ class CkksContext:
                 continue
             perm = self._galois_perm(g)
             s_g = jnp.take(self.keys.secret_ntt, perm, axis=-1)
-            raw = sample_galois_parts(p, self._rng)
-            self.keys.galois[g] = self._make_switching_key(
-                s_g, raw["a_ntt"], raw["e_coeff"]
-            )
+            self.keys.galois[g] = self._make_switching_key(s_g)
 
     # ------------------------------------------------------------------
     # encode / encrypt / decrypt (host boundary)
@@ -465,18 +532,43 @@ class CkksContext:
             ).reshape(*batch, l, p.n)
         )
         rows = tuple(range(l))
-        v_res = small_poly_residues(_ternary_coeffs(self._rng, p.n), p.moduli[:l])
-        e0 = small_poly_residues(_gaussian_coeffs(self._rng, p.n), p.moduli[:l])
-        e1 = small_poly_residues(_gaussian_coeffs(self._rng, p.n), p.moduli[:l])
-        data = _encrypt_device(
-            jnp.asarray(m_res),
-            jnp.asarray(v_res),
-            jnp.asarray(e0),
-            jnp.asarray(e1),
-            self.keys.pk[:, :l],
-            self._tab(l),
+        # v/e0/e1 are tiny signed coeffs: ship [..., 3, N] int32 and expand
+        # to residues on device (vs ~3 x [l, N] u32 over the slow tunnel);
+        # independent randomness per batch element
+        small = np.stack(
+            [
+                np.stack(
+                    [
+                        _ternary_coeffs(self._rng, p.n),
+                        _gaussian_coeffs(self._rng, p.n),
+                        _gaussian_coeffs(self._rng, p.n),
+                    ]
+                )
+                for _ in range(int(np.prod(batch)) if batch else 1)
+            ]
+        ).astype(np.int32)
+        small = small.reshape(*batch, 3, p.n) if batch else small[0]
+        if ("encrypt", l) not in self._ks_jit:
+            self._ks_jit[("encrypt", l)] = jax.jit(
+                functools.partial(self._encrypt_impl, rows=rows)
+            )
+        data = self._ks_jit[("encrypt", l)](
+            jnp.asarray(m_res), jnp.asarray(small), self.keys.pk[:, :l]
         )
         return Ciphertext(data=data, scale=scale, ntt=True)
+
+    def _encrypt_impl(self, m_res, small, pk_mont, rows):
+        """ct = (v*pk0 + e0 + m, v*pk1 + e1), all NTT domain."""
+        l = len(rows)
+        q, qi, _ = self._ql(l)
+        res = self._small_residues_traced(small, rows)  # [..., 3, l, N]
+        v = self._ntt(res[..., 0, :, :], rows)
+        e0 = self._ntt(res[..., 1, :, :], rows)
+        e1 = self._ntt(res[..., 2, :, :], rows)
+        m = self._ntt(m_res, rows)
+        c0 = add_mod(add_mod(mont_mul(v, pk_mont[0], q, qi), e0, q), m, q)
+        c1 = add_mod(mont_mul(v, pk_mont[1], q, qi), e1, q)
+        return jnp.stack([c0, c1], axis=-3)
 
     def decrypt_values(self, ct: Ciphertext) -> np.ndarray:
         """Decrypt to complex slot values (host CRT + embedding decode)."""
@@ -501,17 +593,45 @@ class CkksContext:
     def encode_plain(
         self, values: np.ndarray, scale: Fraction, limbs: int
     ) -> Plaintext:
-        """Full-vector plaintext (masks etc.): NTT-domain Montgomery form."""
+        """Full-vector plaintext (masks etc.): NTT-domain Montgomery form.
+
+        Encoded entirely on HOST (numpy NTT): plaintext caches are built
+        lazily from op code that may be mid-trace under jit, and a device
+        NTT there would cache leaked tracers."""
         p = self.params
         coeffs = self.encoder.values_to_coeffs(
             np.asarray(values, np.complex128), scale
         )
         res = self.encoder.to_residues(coeffs, p.moduli[:limbs])
         rows = tuple(range(limbs))
-        t = self._tab(limbs)
-        q, qi, r2 = self._ql(limbs)
-        data = mont_mul(ntt_jit_rows(jnp.asarray(res), t), r2, q, qi)
+        t = self._tables_rows_np(rows)
+        q, qi, r2 = self._qrows(rows)
+        data = _host_mont_mul(ntt_host(res, t), r2, q, qi)
+        if _trace_state_clean():
+            data = jnp.asarray(data)
+        # mid-trace: keep numpy (concrete, cache-safe); callers upgrade via
+        # plain_device() once no trace is active
         return Plaintext(data=data, scale=scale)
+
+    def plain_device(self, pt: Plaintext) -> Plaintext:
+        """Move a (possibly numpy-backed) cached plaintext to the device —
+        only outside traces, so lazily-built plaintext caches never hold
+        tracers yet avoid re-uploading constants on every eager use."""
+        if isinstance(pt.data, np.ndarray) and _trace_state_clean():
+            return Plaintext(data=jnp.asarray(pt.data), scale=pt.scale)
+        return pt
+
+    def _const_res_np(
+        self, c: complex, scale: Fraction, limbs: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Montgomery residues of (Re(c)*scale, -Im(c)*scale): two [limbs]
+        u32 numpy arrays (the X^{N/2} slot-constant decomposition)."""
+        a_int = int(round(float(Fraction(c.real) * scale)))
+        b_int = int(round(float(Fraction(-c.imag) * scale)))
+        qs = self.params.moduli[:limbs]
+        a_res = _u32([(a_int % q) * _R % q for q in qs])
+        b_res = _u32([(b_int % q) * _R % q for q in qs])
+        return a_res, b_res
 
     def const_scalars(
         self, c: complex, scale: Fraction, limbs: int
@@ -519,11 +639,7 @@ class CkksContext:
         """Slot-constant plaintext as per-limb scalars (a_res, b_res), each
         [limbs] u32 *Montgomery form*, for const = a + b*X^{N/2} with
         a = Re(c)*scale, b = -Im(c)*scale."""
-        a_int = int(round(float(Fraction(c.real) * scale)))
-        b_int = int(round(float(Fraction(-c.imag) * scale)))
-        qs = self.params.moduli[:limbs]
-        a_res = _u32([(a_int % q) * _R % q for q in qs])
-        b_res = _u32([(b_int % q) * _R % q for q in qs])
+        a_res, b_res = self._const_res_np(c, scale, limbs)
         return jnp.asarray(a_res), jnp.asarray(b_res)
 
     # ------------------------------------------------------------------
@@ -565,6 +681,60 @@ class CkksContext:
             t = mont_mul(ct.data, self._pnh_mont[:l], q, qi)
             d = add_mod(d, mont_mul(t, b_res[:, None], q, qi), q)
         return Ciphertext(data=d, scale=ct.scale * scale, ntt=ct.ntt)
+
+    def mul_scalar_batched(
+        self, ct: Ciphertext, cs, scale: Fraction
+    ) -> Ciphertext:
+        """Multiply by B different slot-constants at once: output batch axis
+        B broadcast against ct (which may be unbatched or [B, ...]-batched).
+        One kernel pass instead of B mul_scalar dispatches — the workhorse of
+        batched LUT evaluation (aes/lut_eval.py with stacked coefficients)."""
+        l = ct.n_limbs
+        cs = [complex(c) for c in cs]
+        ab = [self._const_res_np(c, scale, l) for c in cs]
+        a = jnp.asarray(np.stack([x[0] for x in ab]))[:, None, :, None]
+        q, qi, _ = self._ql(l)
+        d = mont_mul(ct.data, a, q, qi)
+        if any(abs(c.imag) > 0 for c in cs):
+            b = jnp.asarray(np.stack([x[1] for x in ab]))[:, None, :, None]
+            t = mont_mul(ct.data, self._pnh_mont[:l], q, qi)
+            d = add_mod(d, mont_mul(t, b, q, qi), q)
+        else:
+            d = jnp.broadcast_to(d, (len(cs), *d.shape[-3:]))
+        return Ciphertext(data=d, scale=ct.scale * scale, ntt=ct.ntt)
+
+    def add_const_batched(self, ct: Ciphertext, cs) -> Ciphertext:
+        """Add B different slot-constants (encoded at ct.scale) to a
+        [B, ...]-batched (or broadcastable) ciphertext."""
+        l = ct.n_limbs
+        cs = [complex(c) for c in cs]
+        B = len(cs)
+        qs = self.params.moduli[:l]
+        a_std = np.stack(
+            [
+                _u32([int(round(float(Fraction(c.real) * ct.scale))) % q for q in qs])
+                for c in cs
+            ]
+        )
+        b_std = np.stack(
+            [
+                _u32([int(round(float(Fraction(-c.imag) * ct.scale))) % q for q in qs])
+                for c in cs
+            ]
+        )
+        q, qi, _ = self._ql(l)
+        vec = mont_mul(
+            self._pnh_mont[None, :l], jnp.asarray(b_std)[:, :, None], q, qi
+        )
+        vec = add_mod(vec, jnp.asarray(a_std)[:, :, None], q)  # [B, l, N]
+        data = jnp.broadcast_to(
+            ct.data, (B, *ct.data.shape[-3:])
+        ) if ct.data.ndim == 3 else ct.data
+        d0 = add_mod(data[..., 0, :, :], vec, q)
+        d = jnp.concatenate(
+            [d0[..., None, :, :], data[..., 1:, :, :]], axis=-3
+        )
+        return ct.with_data(d)
 
     def const_scalars_std(
         self, c: complex, scale: Fraction, limbs: int
@@ -629,9 +799,11 @@ class CkksContext:
 
     def multiply(self, a: Ciphertext, b: Ciphertext, drop: int = 2) -> Ciphertext:
         """ct x ct with relinearization and rescale (reference auto-relin
-        multiply, engine_context.py:65-68)."""
-        out = self.relinearize(self.tensor(a, b))
-        return self.rescale(out, drop)
+        multiply, engine_context.py:65-68).  Rescale runs FIRST (on the
+        3-poly tensor) so the relinearization key switch operates at
+        ``drop`` fewer limbs — same result, cheaper dominant kernel."""
+        out = self.rescale(self.tensor(a, b), drop)
+        return self.relinearize(out)
 
     def rescale(self, ct: Ciphertext, k: int = 1) -> Ciphertext:
         for _ in range(k):
@@ -709,30 +881,44 @@ class CkksContext:
             )
         return self._ks_jit[l](a, ksk)
 
-    def _keyswitch_impl(self, a: jnp.ndarray, ksk: jnp.ndarray, l: int):
+    def _decompose_ext(self, a: jnp.ndarray, l: int) -> jnp.ndarray:
+        """Gadget decomposition of poly ``a`` [..., l, N] (NTT): iNTT, split
+        into digit groups, base-extend each to Q_l*P, and NTT back — stacked
+        as ONE wide transform [..., J', l+K, N] (one kernel launch instead of
+        one per group)."""
         p = self.params
-        k = self.K
         ext_rows = self._rows_ext(l)
-        q_ext, qi_ext, _ = self._qrows(ext_rows)
         a_coeff = self._intt(a, tuple(range(l)))
-        key_rows = np.asarray(ext_rows, np.int64)
-        acc0 = None
-        acc1 = None
-        for j, grp in enumerate(p.groups):
+        exts = []
+        for grp in p.groups:
             g0 = grp[0]
             m = min(len(grp), max(0, l - g0))
             if m <= 0:
                 break
             conv = self._conv_group(g0, m, l)
-            ext = base_convert(a_coeff[..., g0 : g0 + m, :], conv)
-            ext = self._ntt(ext, ext_rows)
-            k0 = ksk[j, 0][key_rows]
-            k1 = ksk[j, 1][key_rows]
-            t0 = mont_mul(ext, k0, q_ext, qi_ext)
-            t1 = mont_mul(ext, k1, q_ext, qi_ext)
-            acc0 = t0 if acc0 is None else add_mod(acc0, t0, q_ext)
-            acc1 = t1 if acc1 is None else add_mod(acc1, t1, q_ext)
-        return self._mod_down(acc0, l), self._mod_down(acc1, l)
+            exts.append(base_convert(a_coeff[..., g0 : g0 + m, :], conv))
+        ext = jnp.stack(exts, axis=-3)  # [..., J', l+K, N]
+        return self._ntt(ext, ext_rows)
+
+    def _ks_inner(self, ext: jnp.ndarray, ksk: jnp.ndarray, l: int):
+        """Key inner product + mod-down for a decomposed poly: returns
+        (d0, d1), each [..., l, N].  Both output polys and all digit groups
+        ride one fused multiply-accumulate."""
+        ext_rows = self._rows_ext(l)
+        q_ext, qi_ext, _ = self._qrows(ext_rows)
+        key_rows = np.asarray(ext_rows, np.int64)
+        jn = ext.shape[-3]
+        k01 = ksk[:jn][:, :, key_rows]           # [J', 2, l+K, N]
+        t = mont_mul(ext[..., :, None, :, :], k01, q_ext, qi_ext)
+        acc = t[..., 0, :, :, :]
+        for j in range(1, jn):
+            acc = add_mod(acc, t[..., j, :, :, :], q_ext)  # [..., 2, l+K, N]
+        down = self._mod_down(acc, l)            # [..., 2, l, N]
+        return down[..., 0, :, :], down[..., 1, :, :]
+
+    def _keyswitch_impl(self, a: jnp.ndarray, ksk: jnp.ndarray, l: int):
+        ext = self._decompose_ext(a, l)
+        return self._ks_inner(ext, ksk, l)
 
     def _mod_down(self, x: jnp.ndarray, l: int) -> jnp.ndarray:
         """Divide by P: x over Q_l*P [..., l+K, N] -> [..., l, N], NTT."""
@@ -926,43 +1112,21 @@ class CkksContext:
         return [ct.with_data(d) for d in datas]
 
     def _rotate_many_impl(self, data, ksks, l: int, gs: tuple[int, ...]):
-        p = self.params
-        ext_rows = self._rows_ext(l)
-        q_ext, qi_ext, _ = self._qrows(ext_rows)
         q, _, _ = self._ql(l)
-        key_rows = np.asarray(ext_rows, np.int64)
         b, a = data[..., 0, :, :], data[..., 1, :, :]
-        # shared decomposition of the *unrotated* a-part
-        a_coeff = self._intt(a, tuple(range(l)))
-        exts = []
-        for j, grp in enumerate(p.groups):
-            g0 = grp[0]
-            m = min(len(grp), max(0, l - g0))
-            if m <= 0:
-                break
-            conv = self._conv_group(g0, m, l)
-            ext = base_convert(a_coeff[..., g0 : g0 + m, :], conv)
-            exts.append((j, self._ntt(ext, ext_rows)))
+        # shared decomposition of the *unrotated* a-part (the automorphism
+        # commutes with the per-limb digit split)
+        ext = self._decompose_ext(a, l)
         outs = []
         for gi, g in enumerate(gs):
             if g == 1:
                 outs.append(data)
                 continue
             perm = self._galois_perm(g)
-            acc0 = acc1 = None
-            for j, ext in exts:
-                pe = jnp.take(ext, perm, axis=-1)
-                k0 = ksks[gi][j, 0][key_rows]
-                k1 = ksks[gi][j, 1][key_rows]
-                t0 = mont_mul(pe, k0, q_ext, qi_ext)
-                t1 = mont_mul(pe, k1, q_ext, qi_ext)
-                acc0 = t0 if acc0 is None else add_mod(acc0, t0, q_ext)
-                acc1 = t1 if acc1 is None else add_mod(acc1, t1, q_ext)
+            pe = jnp.take(ext, perm, axis=-1)
+            d0, d1 = self._ks_inner(pe, ksks[gi], l)
             self.stats["keyswitch"] += 1
-            d0 = add_mod(
-                jnp.take(b, perm, axis=-1), self._mod_down(acc0, l), q
-            )
-            d1 = self._mod_down(acc1, l)
+            d0 = add_mod(jnp.take(b, perm, axis=-1), d0, q)
             outs.append(jnp.stack([d0, d1], axis=-3))
         return outs
 
@@ -994,20 +1158,6 @@ class CkksContext:
 @jax.jit
 def ntt_jit_rows(x, tables):
     return ntt(x, tables)
-
-
-@jax.jit
-def _encrypt_device(m_res, v_res, e0_res, e1_res, pk_mont, tables):
-    """ct = (v*pk0 + e0 + m, v*pk1 + e1), all NTT domain."""
-    q = tables.q[:, None]
-    qi = tables.q_neg_inv[:, None]
-    v = ntt(v_res, tables)
-    e0 = ntt(e0_res, tables)
-    e1 = ntt(e1_res, tables)
-    m = ntt(m_res, tables)
-    c0 = add_mod(add_mod(mont_mul(v, pk_mont[0], q, qi), e0, q), m, q)
-    c1 = add_mod(mont_mul(v, pk_mont[1], q, qi), e1, q)
-    return jnp.stack([c0, c1], axis=-3)
 
 
 @functools.partial(jax.jit, static_argnames=("is_ntt",))

@@ -200,6 +200,8 @@ class HomDft:
             self._pt_cache[key] = self.ctx.encode_plain(
                 w, self.diag_scale, limbs
             )
+        # numpy-backed if first encoded mid-trace; upgrade when legal
+        self._pt_cache[key] = self.ctx.plain_device(self._pt_cache[key])
         return self._pt_cache[key]
 
     def __call__(self, ct: Ciphertext) -> Ciphertext:

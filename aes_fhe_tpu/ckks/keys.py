@@ -74,14 +74,6 @@ def small_poly_residues(coeffs: np.ndarray, primes) -> np.ndarray:
     return out
 
 
-def uniform_ntt(rng: np.random.Generator, primes, n: int) -> np.ndarray:
-    """Uniform ring element sampled directly in the NTT domain (CRT-valid)."""
-    out = np.empty((len(primes), n), np.uint32)
-    for i, q in enumerate(primes):
-        out[i] = rng.integers(0, q, size=n, dtype=np.uint64).astype(np.uint32)
-    return out
-
-
 def gadget_residues(params: CkksParams) -> np.ndarray:
     """g_j mod c for every digit group j and every prime c of Q*P: [J, L+K] u32."""
     primes = params.all_primes
@@ -104,35 +96,17 @@ def sample_keys_host(
     rng: np.random.Generator,
     secret_hamming: int | None = None,
 ) -> dict[str, np.ndarray]:
-    """Host-side raw samples; the context finishes key construction on device
-    (NTTs, products with s).  Returns coefficient-domain small polys and
-    NTT-domain uniform polys."""
+    """Host-side raw samples: only the *small* polynomials (secret, noise).
+    The uniform components of every key are sampled directly on device from
+    a threefry key (CkksContext._uniform_device) — shipping [J, L+K, N]
+    uniform polys per switching key would dominate keygen over a slow
+    host<->device link."""
     n = params.n
-    n_all = len(params.all_primes)
-    J = len(params.groups)
     return {
         "s_coeff": (
             _ternary_coeffs(rng, n)
             if secret_hamming is None
             else _sparse_ternary_coeffs(rng, n, secret_hamming)
         ),
-        "pk_a_ntt": uniform_ntt(rng, params.moduli, n),
         "pk_e_coeff": _gaussian_coeffs(rng, n),
-        "rlk_a_ntt": np.stack(
-            [uniform_ntt(rng, params.all_primes, n) for _ in range(J)]
-        ),
-        "rlk_e_coeff": np.stack([_gaussian_coeffs(rng, n) for _ in range(J)]),
-    }
-
-
-def sample_galois_parts(
-    params: CkksParams, rng: np.random.Generator
-) -> dict[str, np.ndarray]:
-    J = len(params.groups)
-    n = params.n
-    return {
-        "a_ntt": np.stack(
-            [uniform_ntt(rng, params.all_primes, n) for _ in range(J)]
-        ),
-        "e_coeff": np.stack([_gaussian_coeffs(rng, n) for _ in range(J)]),
     }

@@ -16,7 +16,7 @@ from fractions import Fraction
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Ciphertext", "Plaintext"]
+__all__ = ["Ciphertext", "Plaintext", "stack_cts", "unstack_cts"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -49,6 +49,29 @@ class Ciphertext:
         (data,) = children
         scale, ntt = aux
         return cls(data=data, scale=scale, ntt=ntt)
+
+
+def stack_cts(cts: list["Ciphertext"]) -> "Ciphertext":
+    """Stack same-shape/scale/domain ciphertexts along a new leading batch
+    axis.  Every engine verb broadcasts over leading axes, so a stacked pair
+    (e.g. the hi/lo nibble ciphertexts of an AES state) moves through a whole
+    LUT evaluation as ONE sequence of kernels — half the dispatches and
+    double the per-kernel work, which is what the TPU wants."""
+    s0, l0, n0 = cts[0].scale, cts[0].n_limbs, cts[0].ntt
+    assert all(
+        c.scale == s0 and c.n_limbs == l0 and c.ntt == n0 for c in cts[1:]
+    ), "stack_cts needs equal scales / limb counts / domains"
+    return Ciphertext(
+        data=jnp.stack([c.data for c in cts]), scale=s0, ntt=n0
+    )
+
+
+def unstack_cts(ct: "Ciphertext") -> list["Ciphertext"]:
+    """Inverse of stack_cts (splits the leading batch axis)."""
+    return [
+        Ciphertext(data=ct.data[i], scale=ct.scale, ntt=ct.ntt)
+        for i in range(ct.data.shape[0])
+    ]
 
 
 @jax.tree_util.register_pytree_node_class

@@ -34,6 +34,7 @@ __all__ = [
     "intt",
     "ntt_jit",
     "intt_jit",
+    "ntt_host",
     "bit_reverse_perm",
 ]
 
@@ -162,3 +163,44 @@ def intt(x: jnp.ndarray, t: NttTables) -> jnp.ndarray:
 # whole logN-stage transform into one fused executable per input shape.
 ntt_jit = jax.jit(ntt)
 intt_jit = jax.jit(intt)
+
+
+def _host_mont_mul(a: np.ndarray, b: np.ndarray, q, q_neg_inv) -> np.ndarray:
+    """Exact numpy Montgomery multiply (u64 REDC), bit-identical to
+    modular.mont_mul.  a, b u32 broadcastable; q/q_neg_inv u64-compatible."""
+    t = a.astype(np.uint64) * b.astype(np.uint64)
+    m = (t & np.uint64(0xFFFFFFFF)).astype(np.uint32) * np.asarray(
+        q_neg_inv, np.uint32
+    )  # wrapping u32 multiply
+    r = (t + m.astype(np.uint64) * np.asarray(q, np.uint64)) >> np.uint64(32)
+    qv = np.asarray(q, np.uint64)
+    return np.where(r >= qv, r - qv, r).astype(np.uint32)
+
+
+def ntt_host(x: np.ndarray, t: NttTables) -> np.ndarray:
+    """Pure-numpy forward negacyclic NTT, bit-identical to ``ntt``.
+
+    Exists so *constant* plaintexts (LUT masks and the like) can be encoded
+    eagerly even while a jit trace is in progress — a device NTT there would
+    return tracers and poison any host-side plaintext cache (the classic
+    leaked-tracer bug)."""
+    psi = np.asarray(t.psi)
+    q = np.asarray(t.q)[:, None]
+    qi = np.asarray(t.q_neg_inv)[:, None]
+    logn = int(psi.shape[-1]).bit_length() - 1
+    n = 1 << logn
+    lead = x.shape[:-1]
+    x = np.asarray(x, np.uint32)
+    for s in range(logn):
+        m = 1 << s
+        half = n >> (s + 1)
+        xs = x.reshape(*lead, m, 2, half)
+        u, v = xs[..., 0, :], xs[..., 1, :]
+        tw = psi[:, m : 2 * m][:, :, None]
+        vs = _host_mont_mul(v, tw, q[..., None], qi[..., None])
+        s_ = u + vs
+        qv = np.asarray(q[..., None], np.uint32)
+        add = np.where(s_ >= qv, s_ - qv, s_)
+        sub = np.where(u >= vs, u - vs, u - vs + qv)
+        x = np.stack([add, sub], axis=-2).reshape(*lead, n)
+    return x

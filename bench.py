@@ -126,13 +126,12 @@ def bench_round(logn: int):
 
         return pipe, one_round
 
-    # Per-op jit cuts dispatch overhead substantially (xor4: 2 s -> 0.4 s)
-    # but the remote TPU compiler in this environment takes unbounded time on
-    # the largest op programs, so the benchmark defaults to the proven
-    # eager+inner-jit path; set AES_FHE_BENCH_JIT=1 to opt in.
+    # Per-op jit is the proven fast path (15.3 s/round vs 64.7 s eager with
+    # hi/lo batching; compiles are one-time and land in .jax_cache).  Set
+    # AES_FHE_BENCH_JIT=0 to fall back to eager glue + per-kernel jits.
     import os
 
-    want_jit = bool(os.environ.get("AES_FHE_BENCH_JIT"))
+    want_jit = os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
     ct0 = enc.encrypt(states)
     t0 = time.time()
     try:
