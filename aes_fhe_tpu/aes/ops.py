@@ -358,6 +358,20 @@ class _GfMixBase:
         batched LUT evaluation — e.g. InvMixColumns' 8 bivariate evals
         (reference: invmixcolumns_fhe.py:131-170) collapse to 2 basis builds
         + 1 batched accumulation."""
+        if self.use_jit:
+            key = ("multi", tuple(ks))
+            if key not in self._gf_jit:
+                import functools
+
+                self._gf_jit[key] = self.ctx.jit_fn(
+                    functools.partial(self._gf_mults_impl, ks=list(ks))
+                )
+            return self._gf_jit[key](states)
+        return self._gf_mults_impl(states, ks)
+
+    def _gf_mults_impl(
+        self, states: list[CtPair], ks: list[int]
+    ) -> list[CtPair]:
         ctx = self.ctx
         coeff_sets = []
         for k in ks:

@@ -9,9 +9,12 @@ pair), the BASELINE.json metric.  Reference: ~810 s/round on its CPU engine
 (README.md:117).  ``vs_baseline`` is the speedup factor
 (reference_seconds / ours; > 1 means faster than the reference).
 
-Modes:  python bench.py [round|ark] [logn]
-  round : full forward round, default logn=15 (1024 AES blocks/ct pair)
-  ark   : AddRoundKey only (reference's 1.63 s microbenchmark, main.py:144)
+Modes:  python bench.py [round|invround|ark] [logn]
+  round    : full forward round, default logn=15 (1024 AES blocks/ct pair)
+  invround : full inverse round (ISR -> ISB -> ARK -> InvMixColumns, the
+             order the reference's committed decrypt DROPPED — SURVEY.md Q1);
+             reference decryption: ~1394 s/round CPU (README.md:118)
+  ark      : AddRoundKey only (reference's 1.63 s microbenchmark, main.py:144)
 """
 
 from __future__ import annotations
@@ -100,12 +103,12 @@ def bench_ark(logn: int):
     }
 
 
-def bench_round(logn: int):
+def bench_round(logn: int, inverse: bool = False):
     from aes_fhe_tpu.aes.pipeline import AES128, SnapPolicy
     from aes_fhe_tpu.aes import reference as R
 
-    # one full forward round consumes 63 limbs (measured); 68 level primes
-    # leaves base + margin.  NOTE: logQP at these settings exceeds the
+    # one full round consumes 63 limbs (measured); 68 level primes leaves
+    # base + margin.  NOTE: logQP at these settings exceeds the
     # 128-bit-security bound for this N — acceptable for a performance
     # benchmark; production parameters use N=2^16 with bootstrapping.
     ctx, enc = build(logn, 68)
@@ -118,13 +121,21 @@ def bench_round(logn: int):
         pipe = AES128(ctx, policy=SnapPolicy.NONE, use_jit=use_jit)
         rk = pipe.prepare_round_keys(rks)
 
-        def one_round(ct):
+        def fwd_round(ct):
             ct = pipe.sub(*ct)
             ct = pipe.shift(ct)
             ct = pipe.mix(ct)
             return pipe.ark(ct, rk[1])
 
-        return pipe, one_round
+        def inv_round(ct):
+            # the decryption round the reference's committed pipeline
+            # dropped (SURVEY.md Q1): ISR -> ISB -> ARK -> InvMixColumns
+            ct = pipe.inv_shift(ct)
+            ct = pipe.inv_sub(*ct)
+            ct = pipe.ark(ct, rk[9])
+            return pipe.inv_mix(ct)
+
+        return pipe, (inv_round if inverse else fwd_round)
 
     # Per-op jit is the proven fast path (15.3 s/round vs 64.7 s eager with
     # hi/lo batching; compiles are one-time and land in .jax_cache).  Set
@@ -156,19 +167,37 @@ def bench_round(logn: int):
     log(f"round times: {['%.2f' % t for t in times]}")
 
     got = pipe.decode(out, n_blocks=4)
-    want = np.stack(
-        [
-            R.add_round_key(R.mix_columns(R.shift_rows(R.sub_bytes(s))), rks[1])
-            for s in states[:4]
-        ]
-    )
+    if inverse:
+        want = np.stack(
+            [
+                R.inv_mix_columns(
+                    R.add_round_key(
+                        R.inv_sub_bytes(R.inv_shift_rows(s)), rks[9]
+                    )
+                )
+                for s in states[:4]
+            ]
+        )
+        ref_sec = 13938.0 / 10  # reference decryption, README.md:118
+        metric = "aes128_inv_round_sec"
+    else:
+        want = np.stack(
+            [
+                R.add_round_key(
+                    R.mix_columns(R.shift_rows(R.sub_bytes(s))), rks[1]
+                )
+                for s in states[:4]
+            ]
+        )
+        ref_sec = 810.0
+        metric = "aes128_round_sec"
     ok = bool(np.array_equal(got, want))
     log(f"round correctness (4 blocks): {ok}")
     return {
-        "metric": "aes128_round_sec",
+        "metric": metric,
         "value": t_med,
         "unit": "s",
-        "vs_baseline": 810.0 / t_med,
+        "vs_baseline": ref_sec / t_med,
         "correct": ok,
         "blocks_per_ct": enc.batch,
     }
@@ -176,9 +205,12 @@ def bench_round(logn: int):
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "round"
-    logn = int(sys.argv[2]) if len(sys.argv) > 2 else (15 if mode == "round" else 14)
+    logn = int(sys.argv[2]) if len(sys.argv) > 2 else (15 if mode != "ark" else 14)
     log(f"devices: {jax.devices()}  mode={mode} logn={logn}")
-    result = bench_round(logn) if mode == "round" else bench_ark(logn)
+    if mode == "ark":
+        result = bench_ark(logn)
+    else:
+        result = bench_round(logn, inverse=(mode == "invround"))
     print(json.dumps(result))
 
 

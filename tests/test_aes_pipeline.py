@@ -70,3 +70,59 @@ def test_full_roundtrip(pipe, key_and_rks, rng):
 
     back = pipe.decrypt_states(ct, rks)
     np.testing.assert_array_equal(pipe.decode(back), states)
+
+slow = pytest.mark.skipif(
+    not __import__("os").environ.get("AES_FHE_RUN_SLOW"),
+    reason="whole-op jit compiles are minutes on the CPU backend; the TPU "
+    "bench (bench.py, default jit) exercises this path on real hardware",
+)
+
+
+def test_gf_mults_jit_matches_eager(pipe, rng):
+    """The batched-jitted GF-mult path (MixColumns' hot piece) must match
+    the eager evaluation bit-for-bit.  Uses only the gf x2/x3 LUTs — a
+    single compile of the smallest whole-op program."""
+    from aes_fhe_tpu.aes.ops import Xor4, MixColumns
+
+    ctx = pipe.ctx
+    stride = ctx.params.n_slots // 16
+    mix_e = MixColumns(ctx, Xor4(ctx), stride)
+    mix_j = MixColumns(ctx, Xor4(ctx), stride, use_jit=True)
+    states = rng.integers(0, 256, (pipe.encoder.batch, 16), dtype=np.uint8)
+    ct = pipe.encoder.encrypt(states)
+    t_e = mix_e._gf_mults([ct], [2])
+    t_j = mix_j._gf_mults([ct], [2])
+    for (eh, el), (jh, jl) in zip(t_e, t_j):
+        np.testing.assert_array_equal(np.asarray(eh.data), np.asarray(jh.data))
+        np.testing.assert_array_equal(np.asarray(el.data), np.asarray(jl.data))
+
+
+@slow
+def test_forward_round_use_jit(pipe, key_and_rks, rng):
+    """One forward round through the whole-op jit path (ctx.jit_fn): the
+    batched GF-mult/XOR-tree programs must match the eager path bit-for-bit.
+    Shares the module context so keys/compiles are reused."""
+    jp = AES128(pipe.ctx, policy=SnapPolicy.DEBUG_RENORM, use_jit=True)
+    _, rks = key_and_rks
+    rk = jp.prepare_round_keys(rks)
+    states = rng.integers(0, 256, (jp.encoder.batch, 16), dtype=np.uint8)
+    st = jp.encoder.encrypt(states)
+    st = jp.ark(st, rk[0])
+    st = jp._stabilize(st, None, "t.r0")
+    st = jp.sub(*st)
+    st = jp.shift(st)
+    st = jp._stabilize(st, None, "t.sr")  # renorm: 30 test levels < 63/round
+    st = jp.mix(st)
+    st = jp._stabilize(st, None, "t.mc")
+    st = jp.ark(st, rk[1])
+    got = jp.decode(st, n_blocks=4)
+    want = np.stack(
+        [
+            R.add_round_key(
+                R.mix_columns(R.shift_rows(R.sub_bytes(R.add_round_key(s, rks[0])))),
+                rks[1],
+            )
+            for s in states[:4]
+        ]
+    )
+    np.testing.assert_array_equal(got, want)
