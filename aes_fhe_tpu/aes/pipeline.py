@@ -106,10 +106,12 @@ class AES128:
         if self.policy is SnapPolicy.POLY:
             state = self.snap.pair(state)
         elif self.policy is SnapPolicy.BOOTSTRAP:
-            state = (
-                self.bootstrapper(state[0]),
-                self.bootstrapper(state[1]),
-            )
+            from ..ckks.types import stack_cts, unstack_cts
+
+            # both nibbles refresh as ONE stacked bootstrap (every DFT /
+            # EvalMod kernel sees a leading batch axis of 2)
+            out = self.bootstrapper(stack_cts(self.ctx.align(*state)))
+            state = tuple(unstack_cts(out))
             state = self.snap.pair(state)
         elif self.policy is SnapPolicy.DEBUG_RENORM:
             n = self.encoder.batch

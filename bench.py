@@ -9,11 +9,14 @@ pair), the BASELINE.json metric.  Reference: ~810 s/round on its CPU engine
 (README.md:117).  ``vs_baseline`` is the speedup factor
 (reference_seconds / ours; > 1 means faster than the reference).
 
-Modes:  python bench.py [round|invround|ark] [logn]
+Modes:  python bench.py [round|invround|enc10|ark] [logn]
   round    : full forward round, default logn=15 (1024 AES blocks/ct pair)
   invround : full inverse round (ISR -> ISB -> ARK -> InvMixColumns, the
              order the reference's committed decrypt DROPPED — SURVEY.md Q1);
              reference decryption: ~1394 s/round CPU (README.md:118)
+  enc10    : COMPLETE 10-round AES-128 encryption, bootstrap-stabilized (no
+             secret key anywhere in the hot path — the reference used
+             hard renorm); reference: 8,208 s CPU (README.md:117)
   ark      : AddRoundKey only (reference's 1.63 s microbenchmark, main.py:144)
 """
 
@@ -41,7 +44,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(logn: int, n_level_primes: int):
+def build(logn: int, n_level_primes: int, secret_hamming: int | None = None):
     from aes_fhe_tpu.params import make_params
     from aes_fhe_tpu.ckks import CkksContext
     from aes_fhe_tpu.aes.state import StateEncoder
@@ -51,7 +54,10 @@ def build(logn: int, n_level_primes: int):
     params = make_params(logn=logn, n_level_primes=n_level_primes, dnum=3)
     stride = params.n_slots // 16
     ctx = CkksContext(
-        params, seed=7, rotations=tuple(rotation_steps_required(stride))
+        params,
+        seed=7,
+        rotations=tuple(rotation_steps_required(stride)),
+        secret_hamming=secret_hamming,
     )
     enc = StateEncoder(ctx)
     log(
@@ -203,12 +209,57 @@ def bench_round(logn: int, inverse: bool = False):
     }
 
 
+def bench_enc10(logn: int):
+    """Complete 10-round homomorphic AES-128 encryption under the BOOTSTRAP
+    snap policy — the capability the reference simulated with secret-key
+    hard renorm (SURVEY.md Q4).  3 stacked hi/lo bootstraps per round."""
+    from aes_fhe_tpu.aes.pipeline import AES128, SnapPolicy
+    from aes_fhe_tpu.aes import reference as R
+
+    # bootstrap budget: refresh lands ~45 limbs; deepest op (MixColumns, 27)
+    # fits between stabilizes.  Sparse secret keeps EvalMod's range small.
+    ctx, enc = build(logn, 86, secret_hamming=192)
+    rng = np.random.default_rng(0)
+    states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
+    key = np.arange(16, dtype=np.uint8)
+    rks = R.expand_aes128_key(key)
+
+    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=True)
+    t0 = time.time()
+    ct = pipe.encrypt_states(states, rks)
+    jax.block_until_ready((ct[0].data, ct[1].data))
+    warm = time.time() - t0
+    log(f"warmup 10-round encrypt (incl compiles): {warm:.1f}s")
+
+    t0 = time.time()
+    ct = pipe.encrypt_states(states, rks)
+    jax.block_until_ready((ct[0].data, ct[1].data))
+    t_run = time.time() - t0
+    log(f"steady 10-round encrypt: {t_run:.1f}s "
+        f"(bootstraps: {ctx.stats['bootstrap']})")
+
+    got = pipe.decode(ct, n_blocks=4)
+    want = np.stack([R.aes128_encrypt_state(s, rks) for s in states[:4]])
+    ok = bool(np.array_equal(got, want))
+    log(f"10-round correctness (4 blocks): {ok}")
+    return {
+        "metric": "aes128_encrypt10_sec",
+        "value": t_run,
+        "unit": "s",
+        "vs_baseline": 8208.0 / t_run,
+        "correct": ok,
+        "blocks_per_ct": enc.batch,
+    }
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "round"
     logn = int(sys.argv[2]) if len(sys.argv) > 2 else (15 if mode != "ark" else 14)
     log(f"devices: {jax.devices()}  mode={mode} logn={logn}")
     if mode == "ark":
         result = bench_ark(logn)
+    elif mode == "enc10":
+        result = bench_enc10(logn)
     else:
         result = bench_round(logn, inverse=(mode == "invround"))
     print(json.dumps(result))
