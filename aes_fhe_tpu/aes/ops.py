@@ -285,13 +285,9 @@ class ShiftRows:
         return self._one(ct)
 
     def _one_impl(self, ct: Ciphertext) -> Ciphertext:
-        ctx = self.ctx
         masks = self._masks_for(ct.n_limbs)
-        rots = ctx.rotate_many(ct, self.deltas)
-        acc = ctx.mul_plain(ct, masks[0])
-        for d, rt in zip(self.deltas, rots):
-            acc = ctx.add(acc, ctx.mul_plain(rt, masks[d]))
-        return ctx.rescale(acc, 1)
+        ds = [0] + self.deltas
+        return self.ctx.rotate_mul_accum(ct, ds, [masks[d] for d in ds])
 
     def __call__(self, state: CtPair) -> CtPair:
         """Both nibbles stacked: one rotation/mask pass on doubled data."""

@@ -74,7 +74,7 @@ class AES128:
         if policy is SnapPolicy.BOOTSTRAP and bootstrapper is None:
             from ..ckks.bootstrap import Bootstrapper
 
-            bootstrapper = Bootstrapper(ctx)
+            bootstrapper = Bootstrapper(ctx, use_jit=use_jit)
         self.bootstrapper = bootstrapper
         self.encoder = StateEncoder(ctx)
         self.xor4 = Xor4(ctx, use_jit=use_jit)

@@ -60,6 +60,7 @@ class Bootstrapper:
         theta_max: float = 0.35,
         boot_scale_bits: int = 20,
         c2s_diag_bits: int = 40,
+        use_jit: bool = False,
     ):
         self.ctx = ctx
         p = ctx.params
@@ -89,6 +90,13 @@ class Bootstrapper:
 
         self._q0 = p.moduli[0]
         self._mr_conv = make_conv_tables((self._q0,), p.moduli)
+        # EvalMod (Taylor basis + r squarings + arcsin correction) as one
+        # jitted program; the DFT stages are already fused per stage
+        # (ctx.rotate_mul_accum), so with this the bootstrap hot path is
+        # entirely compiled
+        self._eval_frac = (
+            ctx.jit_fn(self.eval_frac) if use_jit else self.eval_frac
+        )
 
     # ------------------------------------------------------------------
     def mod_raise(self, ct: Ciphertext) -> Ciphertext:
@@ -173,8 +181,11 @@ class Bootstrapper:
             ctx.mul_scalar(ctx.sub(zc, z), -0.5j, s_half), 1
         )
 
-        f0 = self.eval_frac(t0)
-        f1 = self.eval_frac(t1)
+        # both conjugation-split halves ride ONE EvalMod (leading batch axis)
+        from .types import stack_cts, unstack_cts
+
+        f01 = self._eval_frac(stack_cts([t0, t1]))
+        f0, f1 = unstack_cts(f01)
 
         # repack z' = f0 - i*f1 at exactly matched scales
         l = min(f0.n_limbs, f1.n_limbs)

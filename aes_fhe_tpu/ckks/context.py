@@ -1130,6 +1130,65 @@ class CkksContext:
             outs.append(jnp.stack([d0, d1], axis=-3))
         return outs
 
+    def rotate_mul_accum(
+        self, ct: Ciphertext, deltas: list[int], pts: list[Plaintext]
+    ) -> Ciphertext:
+        """sum_i pt_i * rotate(ct, delta_i), then ONE rescale.
+
+        The homomorphic-DFT stage / masked-permutation kernel: all rotations
+        share one hoisted gadget decomposition, every plaintext multiply and
+        the accumulation fuse into a single jitted program (delta 0 = the
+        identity term).  Output scale: ct.scale * pt.scale / q_{l-1}."""
+        assert ct.n_poly == 2
+        l = ct.n_limbs
+        s0 = pts[0].scale
+        assert all(p.scale == s0 for p in pts), "equal plaintext scales"
+        gs = tuple(
+            self.galois_element_for_rotation(d) if d % self.params.n_slots else 1
+            for d in deltas
+        )
+        for g in gs:
+            assert g == 1 or g in self.keys.galois, f"missing key g={g}"
+        pstack = jnp.stack([p.data[..., :l, :] for p in pts])
+        ksks = [
+            self.keys.galois[g] if g != 1 else self.keys.relin for g in gs
+        ]
+        if self._traced_mode:
+            data = self._rma_impl(ct.data, pstack, ksks, l=l, gs=gs)
+        else:
+            key = ("rma", l, gs)
+            if key not in self._ks_jit:
+                self._ks_jit[key] = jax.jit(
+                    functools.partial(self._rma_impl, l=l, gs=gs)
+                )
+            data = self._ks_jit[key](ct.data, pstack, ksks)
+        qd = self.params.moduli[l - 1]
+        return Ciphertext(
+            data=data, scale=ct.scale * s0 / qd, ntt=True
+        )
+
+    def _rma_impl(self, data, pstack, ksks, l: int, gs: tuple[int, ...]):
+        q, qi, _ = self._ql(l)
+        b, a = data[..., 0, :, :], data[..., 1, :, :]
+        need_ks = any(g != 1 for g in gs)
+        ext = self._decompose_ext(a, l) if need_ks else None
+        acc = None
+        for gi, g in enumerate(gs):
+            if g == 1:
+                d01 = data
+            else:
+                perm = self._galois_perm(g)
+                pe = jnp.take(ext, perm, axis=-1)
+                ks0, ks1 = self._ks_inner(pe, ksks[gi], l)
+                self.stats["keyswitch"] += 1
+                d01 = jnp.stack(
+                    [add_mod(jnp.take(b, perm, axis=-1), ks0, q), ks1],
+                    axis=-3,
+                )
+            t = mont_mul(d01, pstack[gi], q, qi)
+            acc = t if acc is None else add_mod(acc, t, q)
+        return self._rescale_impl(acc, d=l - 1)
+
     def conjugate(self, ct: Ciphertext) -> Ciphertext:
         return self.apply_galois(ct, self.params.two_n - 1)
 

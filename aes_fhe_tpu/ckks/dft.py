@@ -205,12 +205,13 @@ class HomDft:
         return self._pt_cache[key]
 
     def __call__(self, ct: Ciphertext) -> Ciphertext:
+        """Each merged stage is ONE fused kernel: all of its rotations share
+        a hoisted gadget decomposition and the diagonal multiplies/
+        accumulation/rescale fuse (ctx.rotate_mul_accum) — the stage count,
+        not the diagonal count, sets the dispatch cost."""
         ctx = self.ctx
         for si, op in enumerate(self.ops):
-            acc = None
-            for d in sorted(op):
-                rt = ctx.rotate(ct, d) if d % self.n else ct
-                term = ctx.mul_plain(rt, self._diag_pt(si, d, ct.n_limbs))
-                acc = term if acc is None else ctx.add(acc, term)
-            ct = ctx.rescale(acc, 1)
+            ds = sorted(op)
+            pts = [self._diag_pt(si, d, ct.n_limbs) for d in ds]
+            ct = ctx.rotate_mul_accum(ct, ds, pts)
         return ct
