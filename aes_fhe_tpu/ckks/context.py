@@ -48,6 +48,7 @@ from .encoder import Encoder
 from .types import Ciphertext, Plaintext
 from .keys import (
     KeySet,
+    SwitchingKey,
     sample_keys_host,
     small_poly_residues,
     gadget_residues,
@@ -446,15 +447,14 @@ class CkksContext:
         b = add_mod(neg_mod(mont_mul(a, s_mont_q, q, qi), q), e, q)
         return mont_mul(jnp.stack([b, a]), r2, q, qi)
 
-    def _make_switching_key(self, target_ntt: jnp.ndarray) -> jnp.ndarray:
-        """ksk_j = (-a_j s + e_j + g_j * target, a_j) over Q*P, Montgomery.
+    def _make_switching_key(self, target_ntt: jnp.ndarray) -> "SwitchingKey":
+        """ksk_j = (-a_j s + e_j + g_j * target, a_j) over Q*P, Montgomery —
+        returned SEED-COMPRESSED (keys.SwitchingKey): only b is materialized;
+        the uniform a_j regenerate from the threefry key at each key switch.
 
         ``target_ntt``: the source secret (s^2 or sigma_g(s)) in NTT domain,
-        *standard* form.  The uniform a_j are sampled on device and the small
-        e_j shipped as coefficients; the whole construction is ONE jitted
-        program reused for the relin key and every Galois key (the previous
-        per-group eager version cost hundreds of dispatches + ~40 MB of
-        transfers per key).
+        *standard* form.  The whole construction is ONE jitted program
+        reused for the relin key and every Galois key.
         """
         p = self.params
         J = len(p.groups)
@@ -463,26 +463,36 @@ class CkksContext:
         ).astype(np.int32)
         if "mksk" not in self._ks_jit:
             self._ks_jit["mksk"] = jax.jit(self._mksk_impl)
-        return self._ks_jit["mksk"](
-            self._next_jkey(), target_ntt, jnp.asarray(e32), self._s_mont
+        jkey = self._next_jkey()
+        b_mont = self._ks_jit["mksk"](
+            jkey, target_ntt, jnp.asarray(e32), self._s_mont
         )
+        return SwitchingKey(b_mont=b_mont, jkey=jkey)
 
-    def _mksk_impl(self, jkey, target_ntt, e32, s_mont):
+    def _key_a_std(self, jkey) -> jnp.ndarray:
+        """The uniform a-parts of a switching key, standard form
+        [J, L+K, N] — deterministic in ``jkey`` (used both at construction
+        and at every key switch; bit-identical by PRNG determinism)."""
         p = self.params
         J = len(p.groups)
         all_rows = tuple(range(self.n_all))
         q, qi, r2 = self._qrows(all_rows)
         mu = self._mu_np[:, None]
-        a = self._uniform_device(
+        return self._uniform_device(
             jkey, (J, self.n_all, p.n), q, qi, r2, mu
         )
+
+    def _mksk_impl(self, jkey, target_ntt, e32, s_mont):
+        p = self.params
+        all_rows = tuple(range(self.n_all))
+        q, qi, r2 = self._qrows(all_rows)
+        a = self._key_a_std(jkey)
         e = self._ntt(self._small_residues_traced(e32, all_rows), all_rows)
         g_mont = self._g_mont()  # [J, rows, 1] numpy const
         gs = mont_mul(target_ntt[None], g_mont, q, qi)
         neg_as = neg_mod(mont_mul(a, s_mont[None], q, qi), q)
         b = add_mod(add_mod(neg_as, e, q), gs, q)
-        ksk = jnp.stack([b, a], axis=1)  # [J, 2, L+K, N]
-        return mont_mul(ksk, r2, q, qi)
+        return mont_mul(b, r2, q, qi)  # [J, L+K, N]
 
     def add_galois_keys(self, elements) -> None:
         """Create switching keys for sigma_g(s) -> s for each Galois element."""
@@ -900,15 +910,19 @@ class CkksContext:
         ext = jnp.stack(exts, axis=-3)  # [..., J', l+K, N]
         return self._ntt(ext, ext_rows)
 
-    def _ks_inner(self, ext: jnp.ndarray, ksk: jnp.ndarray, l: int):
+    def _ks_inner(self, ext: jnp.ndarray, ksk, l: int):
         """Key inner product + mod-down for a decomposed poly: returns
         (d0, d1), each [..., l, N].  Both output polys and all digit groups
-        ride one fused multiply-accumulate."""
+        ride one fused multiply-accumulate.  ``ksk`` is a seed-compressed
+        SwitchingKey: its a-parts regenerate here from the threefry key."""
         ext_rows = self._rows_ext(l)
-        q_ext, qi_ext, _ = self._qrows(ext_rows)
+        q_ext, qi_ext, r2_ext = self._qrows(ext_rows)
         key_rows = np.asarray(ext_rows, np.int64)
         jn = ext.shape[-3]
-        k01 = ksk[:jn][:, :, key_rows]           # [J', 2, l+K, N]
+        kb = ksk.b_mont[:jn][:, key_rows]        # [J', l+K, N]
+        ka = self._key_a_std(ksk.jkey)[:jn][:, key_rows]
+        ka = mont_mul(ka, r2_ext, q_ext, qi_ext)  # Montgomery form
+        k01 = jnp.stack([kb, ka], axis=1)        # [J', 2, l+K, N]
         t = mont_mul(ext[..., :, None, :, :], k01, q_ext, qi_ext)
         acc = t[..., 0, :, :, :]
         for j in range(1, jn):

@@ -23,15 +23,30 @@ as independent uniform residues per limb in the NTT domain (valid by CRT).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 import numpy as np
 import jax.numpy as jnp
 
 from ..params import CkksParams
 
-__all__ = ["KeySet", "sample_keys_host", "SIGMA"]
+__all__ = ["KeySet", "SwitchingKey", "sample_keys_host", "SIGMA"]
 
 SIGMA = 3.2  # discrete Gaussian width, standard CKKS choice
+
+
+class SwitchingKey(NamedTuple):
+    """Seed-compressed hybrid switching key.
+
+    Only the b-part is stored; the uniform a-part regenerates on device from
+    ``jkey`` (threefry) at every key switch — half the HBM of a full
+    [J, 2, L+K, N] key, which is what lets ~80 Galois keys (AES rotations +
+    bootstrap DFT stages) coexist with the working set on one chip.  The
+    regenerated a is bit-identical to the one used at construction (same
+    PRNG key, same shape)."""
+
+    b_mont: jnp.ndarray                 # [n_groups, L+K, N] NTT, Montgomery
+    jkey: jnp.ndarray                   # threefry key for the a-parts
 
 
 @dataclass
@@ -43,8 +58,8 @@ class KeySet:
     secret_mont: jnp.ndarray            # [L+K, N] NTT, Montgomery form
     secret_ntt: jnp.ndarray             # [L+K, N] NTT, standard form
     pk: jnp.ndarray                     # [2, L, N] NTT, Montgomery form
-    relin: jnp.ndarray                  # [n_groups, 2, L+K, N] NTT Montgomery
-    galois: dict[int, jnp.ndarray] = field(default_factory=dict)
+    relin: SwitchingKey = None
+    galois: dict[int, SwitchingKey] = field(default_factory=dict)
 
 
 def _gaussian_coeffs(rng: np.random.Generator, n: int) -> np.ndarray:

@@ -66,29 +66,41 @@ def load_ciphertext(path: str | Path) -> Ciphertext:
 
 
 def save_keyset(path: str | Path, keys: KeySet) -> None:
+    """Switching keys serialize seed-compressed: b-part + threefry key (the
+    uniform a-parts regenerate on device — half the bytes on disk too)."""
     arrays = {
         "secret_mont": np.asarray(keys.secret_mont),
         "secret_ntt": np.asarray(keys.secret_ntt),
         "pk": np.asarray(keys.pk),
-        "relin": np.asarray(keys.relin),
+        "relin_b": np.asarray(keys.relin.b_mont),
+        "relin_seed": np.asarray(keys.relin.jkey),
     }
     for g, k in keys.galois.items():
-        arrays[f"galois_{int(g)}"] = np.asarray(k)
+        arrays[f"galois_{int(g)}_b"] = np.asarray(k.b_mont)
+        arrays[f"galois_{int(g)}_seed"] = np.asarray(k.jkey)
     np.savez_compressed(Path(path), **arrays)
 
 
 def load_keyset(path: str | Path) -> KeySet:
+    from ..ckks.keys import SwitchingKey
+
     with np.load(Path(path), allow_pickle=False) as z:
         galois = {
-            int(name.removeprefix("galois_")): jnp.asarray(z[name])
+            int(name.removeprefix("galois_").removesuffix("_b")): SwitchingKey(
+                b_mont=jnp.asarray(z[name]),
+                jkey=jnp.asarray(z[name.removesuffix("_b") + "_seed"]),
+            )
             for name in z.files
-            if name.startswith("galois_")
+            if name.startswith("galois_") and name.endswith("_b")
         }
         return KeySet(
             secret_mont=jnp.asarray(z["secret_mont"]),
             secret_ntt=jnp.asarray(z["secret_ntt"]),
             pk=jnp.asarray(z["pk"]),
-            relin=jnp.asarray(z["relin"]),
+            relin=SwitchingKey(
+                b_mont=jnp.asarray(z["relin_b"]),
+                jkey=jnp.asarray(z["relin_seed"]),
+            ),
             galois=galois,
         )
 

@@ -51,7 +51,10 @@ def test_keyset_roundtrip_decrypts(sctx, tmp_path, rng):
     restored = load_keyset(kp)
     assert set(restored.galois) == set(sctx.keys.galois)
     np.testing.assert_array_equal(
-        np.asarray(restored.relin), np.asarray(sctx.keys.relin)
+        np.asarray(restored.relin.b_mont), np.asarray(sctx.keys.relin.b_mont)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.relin.jkey), np.asarray(sctx.keys.relin.jkey)
     )
     # restore into the context and use the keys end-to-end
     sctx.keys = restored
