@@ -216,9 +216,12 @@ def bench_enc10(logn: int):
     from aes_fhe_tpu.aes.pipeline import AES128, SnapPolicy
     from aes_fhe_tpu.aes import reference as R
 
-    # bootstrap budget: refresh lands ~45 limbs; deepest op (MixColumns, 27)
-    # fits between stabilizes.  Sparse secret keeps EvalMod's range small.
-    ctx, enc = build(logn, 86, secret_hamming=192)
+    # bootstrap budget: at logn=15 each DFT direction has 5 merged stages
+    # (vs 2-3 at unit-test ring sizes), so the refresh must start from 96
+    # level primes to land ~48 limbs — snap (~12) + deepest op (SubBytes,
+    # 26) then fit between stabilizes.  Sparse secret keeps EvalMod's range
+    # small.
+    ctx, enc = build(logn, 96, secret_hamming=192)
     rng = np.random.default_rng(0)
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
     key = np.arange(16, dtype=np.uint8)
