@@ -292,6 +292,29 @@ class CkksContext:
         return make_conv_tables(tuple(src), tuple(tgt))
 
     @functools.lru_cache(maxsize=None)
+    def _skip_rows(self, g_start: int, g_len: int, l: int) -> tuple[int, ...]:
+        """Extended-basis rows OUTSIDE digit [g_start, g_start+g_len):
+        fast base conversion is *exact* on primes inside the source base
+        (every cross term carries the target prime as a factor), so the
+        in-digit rows of the decomposition are just the original residues
+        and never leave the NTT domain."""
+        return (
+            tuple(range(g_start))
+            + tuple(range(g_start + g_len, l))
+            + tuple(range(self.L, self.n_all))
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def _conv_group_skip(self, g_start: int, g_len: int, l: int) -> ConvTables:
+        """Digit group -> (Q_l * P minus the digit's own primes)."""
+        p = self.params
+        src = p.moduli[g_start : g_start + g_len]
+        tgt = tuple(
+            p.all_primes[i] for i in self._skip_rows(g_start, g_len, l)
+        )
+        return make_conv_tables(tuple(src), tgt)
+
+    @functools.lru_cache(maxsize=None)
     def _conv_special(self, l: int) -> ConvTables:
         p = self.params
         return make_conv_tables(p.special, p.moduli[:l])
@@ -494,17 +517,76 @@ class CkksContext:
         b = add_mod(add_mod(neg_as, e, q), gs, q)
         return mont_mul(b, r2, q, qi)  # [J, L+K, N]
 
-    def add_galois_keys(self, elements) -> None:
-        """Create switching keys for sigma_g(s) -> s for each Galois element."""
+    def materialize_key_a(self, budget_bytes: int | None = None) -> int:
+        """Precompute the Montgomery-form a-parts of the relin + Galois keys
+        (undoing seed-compression for the hot path): each key switch then
+        skips the on-device threefry regeneration + Montgomery conversion of
+        a [J, L+K, N] tensor — pure HBM-for-compute trade.
+
+        ``budget_bytes`` caps the extra HBM (relin first, then Galois keys in
+        insertion order).  Returns the bytes actually materialized."""
+        all_rows = tuple(range(self.n_all))
+        q, qi, r2 = self._qrows(all_rows)
+        per_key = (
+            len(self.params.groups) * self.n_all * self.params.n * 4
+        )
+        spent = 0
+
+        def mat(sk: SwitchingKey) -> SwitchingKey:
+            if sk.a_mont is not None:
+                return sk
+            ka = self._key_a_std(sk.jkey)
+            return sk._replace(a_mont=mont_mul(ka, r2, q, qi))
+
+        todo = [("relin", None)] + [("galois", g) for g in self.keys.galois]
+        for kind, g in todo:
+            if budget_bytes is not None and spent + per_key > budget_bytes:
+                break
+            if kind == "relin":
+                self.keys.relin = mat(self.keys.relin)
+            else:
+                self.keys.galois[g] = mat(self.keys.galois[g])
+            spent += per_key
+        self._jnp_state = None  # keys changed shape: re-snapshot
+        return spent
+
+    def add_galois_keys(self, elements, chunk: int = 16) -> None:
+        """Create switching keys for sigma_g(s) -> s for each Galois element.
+
+        All keys of a chunk are generated in ONE vmapped device program
+        (per-key dispatch through this environment's host<->TPU tunnel
+        costs seconds each; keygen is dispatch-bound, not compute-bound)."""
         p = self.params
-        self._jnp_state = None  # invalidate the traced-state snapshot
+        new: list[int] = []
         for g in elements:
             g = int(g) % p.two_n
-            if g in self.keys.galois or g == 1:
-                continue
-            perm = self._galois_perm(g)
-            s_g = jnp.take(self.keys.secret_ntt, perm, axis=-1)
-            self.keys.galois[g] = self._make_switching_key(s_g)
+            if g not in self.keys.galois and g != 1 and g not in new:
+                new.append(g)
+        if not new:
+            return
+        self._jnp_state = None  # invalidate the traced-state snapshot
+        J = len(p.groups)
+        if "mksk_v" not in self._ks_jit:
+            self._ks_jit["mksk_v"] = jax.jit(
+                jax.vmap(self._mksk_impl, in_axes=(0, 0, 0, None))
+            )
+        for c0 in range(0, len(new), chunk):
+            gs = new[c0 : c0 + chunk]
+            perms = np.stack([self._galois_perm(g) for g in gs])
+            s_gs = jnp.take(
+                self.keys.secret_ntt, jnp.asarray(perms), axis=-1
+            ).transpose(1, 0, 2)  # [G, L+K, N]
+            e32 = np.rint(
+                self._rng.normal(0.0, 3.2, size=(len(gs), J, p.n))
+            ).astype(np.int32)
+            jkeys = jnp.stack([self._next_jkey() for _ in gs])
+            b_monts = self._ks_jit["mksk_v"](
+                jkeys, s_gs, jnp.asarray(e32), self._s_mont
+            )
+            for i, g in enumerate(gs):
+                self.keys.galois[g] = SwitchingKey(
+                    b_mont=b_monts[i], jkey=jkeys[i]
+                )
 
     # ------------------------------------------------------------------
     # encode / encrypt / decrypt (host boundary)
@@ -895,20 +977,46 @@ class CkksContext:
         """Gadget decomposition of poly ``a`` [..., l, N] (NTT): iNTT, split
         into digit groups, base-extend each to Q_l*P, and NTT back — stacked
         as ONE wide transform [..., J', l+K, N] (one kernel launch instead of
-        one per group)."""
+        one per group).
+
+        In-digit rows never leave the NTT domain: FastBaseConv is exact on
+        target primes dividing the source base (every cross term carries the
+        target prime as a factor), so digit j's own rows of the decomposition
+        ARE the original residues — only the complement rows are converted
+        and transformed (saves l of the J'*(l+K) NTT rows plus the matching
+        conversion columns, bit-identically)."""
         p = self.params
-        ext_rows = self._rows_ext(l)
         a_coeff = self._intt(a, tuple(range(l)))
-        exts = []
+        groups: list[tuple[int, int]] = []
+        chunks = []
+        rows_cat: list[int] = []
         for grp in p.groups:
             g0 = grp[0]
             m = min(len(grp), max(0, l - g0))
             if m <= 0:
                 break
-            conv = self._conv_group(g0, m, l)
-            exts.append(base_convert(a_coeff[..., g0 : g0 + m, :], conv))
-        ext = jnp.stack(exts, axis=-3)  # [..., J', l+K, N]
-        return self._ntt(ext, ext_rows)
+            chunks.append(
+                base_convert(
+                    a_coeff[..., g0 : g0 + m, :],
+                    self._conv_group_skip(g0, m, l),
+                )
+            )
+            rows_cat.extend(self._skip_rows(g0, m, l))
+            groups.append((g0, m))
+        conv_ntt = self._ntt(jnp.concatenate(chunks, axis=-2), tuple(rows_cat))
+        exts = []
+        off = 0
+        for g0, m in groups:
+            n_tj = l - m + (self.n_all - self.L)
+            cj = conv_ntt[..., off : off + n_tj, :]
+            off += n_tj
+            exts.append(
+                jnp.concatenate(
+                    [cj[..., :g0, :], a[..., g0 : g0 + m, :], cj[..., g0:, :]],
+                    axis=-2,
+                )
+            )
+        return jnp.stack(exts, axis=-3)  # [..., J', l+K, N]
 
     def _ks_inner(self, ext: jnp.ndarray, ksk, l: int):
         """Key inner product + mod-down for a decomposed poly: returns
@@ -920,8 +1028,11 @@ class CkksContext:
         key_rows = np.asarray(ext_rows, np.int64)
         jn = ext.shape[-3]
         kb = ksk.b_mont[:jn][:, key_rows]        # [J', l+K, N]
-        ka = self._key_a_std(ksk.jkey)[:jn][:, key_rows]
-        ka = mont_mul(ka, r2_ext, q_ext, qi_ext)  # Montgomery form
+        if ksk.a_mont is not None:               # materialized (HBM trade)
+            ka = ksk.a_mont[:jn][:, key_rows]
+        else:
+            ka = self._key_a_std(ksk.jkey)[:jn][:, key_rows]
+            ka = mont_mul(ka, r2_ext, q_ext, qi_ext)  # Montgomery form
         k01 = jnp.stack([kb, ka], axis=1)        # [J', 2, l+K, N]
         t = mont_mul(ext[..., :, None, :, :], k01, q_ext, qi_ext)
         acc = t[..., 0, :, :, :]

@@ -47,6 +47,10 @@ class SwitchingKey(NamedTuple):
 
     b_mont: jnp.ndarray                 # [n_groups, L+K, N] NTT, Montgomery
     jkey: jnp.ndarray                   # threefry key for the a-parts
+    # Optional HBM/compute trade (CkksContext.materialize_key_a): the
+    # Montgomery-form a-parts precomputed once, skipping the per-keyswitch
+    # threefry regeneration.  None = seed-compressed (the default).
+    a_mont: jnp.ndarray = None          # [n_groups, L+K, N] NTT, Montgomery
 
 
 @dataclass

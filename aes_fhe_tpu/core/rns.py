@@ -43,6 +43,9 @@ class ConvTables:
     ghat_mod : [m, T]  ((B/b_i) mod c_t) * R        (Montgomery form)
     src_q, src_qinv : [m]   source primes and -q^{-1} mod 2^32
     tgt_q, tgt_qinv : [T]   target primes and -q^{-1} mod 2^32
+    g_digits : [4, m, T] bf16  8-bit digit planes of (B/b_i) mod c_t
+                               (STANDARD form) for the MXU matmul path
+    pow8_mont: [7, T]   (2^{8s} mod c_t) * R  digit-recombination constants
     """
 
     ghat_inv: jnp.ndarray
@@ -52,6 +55,8 @@ class ConvTables:
     tgt_q: jnp.ndarray
     tgt_qinv: jnp.ndarray
     b_mod: jnp.ndarray       # [T] (B mod c_t) * R  (for the centered variant)
+    g_digits: jnp.ndarray
+    pow8_mont: jnp.ndarray
 
 
 def make_conv_tables(src: tuple[int, ...], tgt: tuple[int, ...]) -> ConvTables:
@@ -60,11 +65,21 @@ def make_conv_tables(src: tuple[int, ...], tgt: tuple[int, ...]) -> ConvTables:
     m, T = len(src), len(tgt)
     ghat_inv = np.empty(m, np.uint32)
     ghat_mod = np.empty((m, T), np.uint32)
+    g_std = np.empty((m, T), np.uint64)
     for i, b in enumerate(src):
         bhat = B // b
         ghat_inv[i] = pow(bhat, -1, b) * _R % b
         for t, c in enumerate(tgt):
             ghat_mod[i, t] = bhat % c * _R % c
+            g_std[i, t] = bhat % c
+    # 8-bit digits are exact in bfloat16 (8 significand bits cover 0..255)
+    g_digits = np.stack(
+        [((g_std >> (8 * k)) & 0xFF).astype(np.float32) for k in range(4)]
+    ).astype(jnp.bfloat16)
+    pow8_mont = np.empty((7, T), np.uint32)
+    for s in range(7):
+        for t, c in enumerate(tgt):
+            pow8_mont[s, t] = (1 << (8 * s)) * _R % c
     u32 = lambda xs: np.asarray(xs, np.uint32)
     neg_inv = lambda ps: u32([(-pow(p, -1, _R)) % _R for p in ps])
     # numpy on purpose: these tables are lru-cached by callers and may be
@@ -78,7 +93,50 @@ def make_conv_tables(src: tuple[int, ...], tgt: tuple[int, ...]) -> ConvTables:
         tgt_q=u32(tgt),
         tgt_qinv=neg_inv(tgt),
         b_mod=u32([B % c * _R % c for c in tgt]),
+        g_digits=g_digits,
+        pow8_mont=pow8_mont,
     )
+
+
+# Above this source count the conversion runs as MXU digit matmuls; below,
+# as the direct per-source multiply-accumulate loop (cheaper for tiny m).
+_MATMUL_MIN_M = 6
+# f32 accumulation is exact below 2^24; partial sums reach 255*255*m*4.
+_MATMUL_MAX_M = 64
+
+
+def _conv_matmul(y: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
+    """sum_i y[..., i, n] * g[i, t] mod c_t as MXU digit matmuls.
+
+    Both operands split into 8-bit digit planes (exact in bf16); the 4x4
+    digit products group into 7 shift classes, each one [T, m] @ [m, N]
+    matmul with exact f32 accumulation (sums < 2^24 for m <= 64); the
+    classes recombine with one Montgomery multiply by 2^{8s} each — ~7
+    VPU mults per output instead of m (reference conv loop cost).
+    """
+    tq = t.tgt_q[:, None]
+    tqi = t.tgt_qinv[:, None]
+    y_digits = [
+        ((y >> (8 * k)) & 0xFF).astype(jnp.bfloat16) for k in range(4)
+    ]
+    g = t.g_digits  # [4, m, T] bf16, standard-form digits
+    acc = None
+    for s in range(7):
+        p_s = None
+        for k in range(max(0, s - 3), min(4, s + 1)):
+            j = s - k
+            part = jnp.einsum(
+                "mt,...mn->...tn",
+                g[j],
+                y_digits[k],
+                preferred_element_type=jnp.float32,
+            )
+            p_s = part if p_s is None else p_s + part
+        term = mont_mul(
+            p_s.astype(jnp.uint32), t.pow8_mont[s][:, None], tq, tqi
+        )
+        acc = term if acc is None else add_mod(acc, term, tq)
+    return acc
 
 
 def base_convert(x: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
@@ -94,6 +152,8 @@ def base_convert(x: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
         t.src_q[:, None],
         t.src_qinv[:, None],
     )  # [..., m, N] : [x_i * (B/b_i)^{-1}]_{b_i}
+    if _MATMUL_MIN_M <= m <= _MATMUL_MAX_M:
+        return _conv_matmul(y, t)
     tq = t.tgt_q[:, None]
     tqi = t.tgt_qinv[:, None]
     acc = None
@@ -121,15 +181,26 @@ def base_convert_centered(x: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
     )
     tq = t.tgt_q[:, None]
     tqi = t.tgt_qinv[:, None]
-    acc = None
-    af = None
-    for i in range(m):
-        term = mont_mul(y[..., i : i + 1, :], t.ghat_mod[i][:, None], tq, tqi)
-        acc = term if acc is None else add_mod(acc, term, tq)
-        f = y[..., i : i + 1, :].astype(jnp.float32) / np.float32(
-            int(t.src_q[i])
+    if _MATMUL_MIN_M <= m <= _MATMUL_MAX_M:
+        acc = _conv_matmul(y, t)
+        af = jnp.sum(
+            y.astype(jnp.float32)
+            / np.asarray(t.src_q, np.float32)[:, None],
+            axis=-2,
+            keepdims=True,
         )
-        af = f if af is None else af + f
+    else:
+        acc = None
+        af = None
+        for i in range(m):
+            term = mont_mul(
+                y[..., i : i + 1, :], t.ghat_mod[i][:, None], tq, tqi
+            )
+            acc = term if acc is None else add_mod(acc, term, tq)
+            f = y[..., i : i + 1, :].astype(jnp.float32) / np.float32(
+                int(t.src_q[i])
+            )
+            af = f if af is None else af + f
     corr = jnp.round(af).astype(jnp.uint32)      # [..., 1, N]
     corr_b = mont_mul(corr, t.b_mod[:, None], tq, tqi)
     return sub_mod(acc, corr_b, tq)

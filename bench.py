@@ -118,6 +118,10 @@ def bench_round(logn: int, inverse: bool = False):
     # 128-bit-security bound for this N — acceptable for a performance
     # benchmark; production parameters use N=2^16 with bootstrapping.
     ctx, enc = build(logn, 68)
+    if _os.environ.get("AES_FHE_MAT_KEYS", "1") != "0":
+        t0 = time.time()
+        nb = ctx.materialize_key_a()
+        log(f"materialized key a-parts: {nb/1e6:.0f} MB in {time.time()-t0:.1f}s")
     rng = np.random.default_rng(0)
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
     key = np.arange(16, dtype=np.uint8)
@@ -255,6 +259,143 @@ def bench_enc10(logn: int):
     }
 
 
+def bench_ks(logn: int, n_level: int = 68):
+    """Key-switch microbenchmark: one relinearize-grade switch at high limb
+    count — the kernel that dominates every AES op (~270 calls/round)."""
+    from aes_fhe_tpu.ckks.types import Ciphertext
+
+    ctx, enc = build(logn, n_level)
+    rng = np.random.default_rng(0)
+    states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
+    ct = enc.encrypt(states)[0]
+    l = ct.n_limbs
+
+    a = ct.data[1]
+    CHAIN = 20  # chained switches inside ONE jit: the axon tunnel's
+    # dispatch/fetch RTT (~30 ms) would otherwise swamp the kernel time
+
+    def timed(tag):
+        def chain(x, ksk):  # key as argument, not a 74 MB XLA constant
+            def body(x, _):
+                d0, d1 = ctx._keyswitch_impl(x, ksk, l)
+                return d0, d1[0, 0]
+            return jax.lax.scan(body, x, None, length=CHAIN)[0]
+
+        ksn = jax.jit(chain)
+        t0 = time.time()
+        jax.device_get(ksn(a, ctx.keys.relin))
+        log(f"[{tag}] warmup (compiles): {time.time()-t0:.1f}s")
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            jax.device_get(ksn(a, ctx.keys.relin))
+            times.append((time.time() - t0) / CHAIN)
+        t_med = float(np.median(times))
+        log(f"[{tag}] keyswitch[l={l}]: {['%.4f' % t for t in times]}")
+        return t_med
+
+    t_seed = timed("seed-compressed")
+    nbytes = ctx.materialize_key_a()
+    log(f"materialized a-parts: {nbytes/1e6:.0f} MB")
+    t_mat = timed("materialized-a")
+    t_med = min(t_seed, t_mat)
+    return {
+        "metric": "keyswitch_sec",
+        "value": t_med,
+        "unit": "s",
+        "vs_baseline": 0.016 / t_med,  # vs round-1 measured 16 ms
+        "limbs": l,
+        "seed_compressed_sec": t_seed,
+        "materialized_sec": t_mat,
+    }
+
+
+def bench_ntt(logn: int, n_level: int = 68):
+    """Fused-NTT microbenchmark over a full ciphertext limb stack."""
+    ctx, enc = build(logn, n_level)
+    rng = np.random.default_rng(0)
+    states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
+    ct = enc.encrypt(states)[0]
+    l = ct.n_limbs
+    rows = tuple(range(l))
+    f = jax.jit(lambda x: ctx._intt(ctx._ntt(x, rows), rows))
+    x = ct.data
+    t0 = time.time()
+    out = f(x)
+    jax.block_until_ready(out)
+    log(f"warmup (compiles): {time.time()-t0:.1f}s")
+    times = []
+    for _ in range(10):
+        t0 = time.time()
+        out = f(x)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    t_med = float(np.median(times)) / 2  # one transform (fwd+inv timed)
+    ok = bool(np.array_equal(np.asarray(out), np.asarray(x)))
+    log(f"ntt roundtrip exact: {ok}")
+    return {
+        "metric": "ntt_sec",
+        "value": t_med,
+        "unit": "s",
+        "vs_baseline": 0.0025 / t_med,  # vs round-1 measured 2.5 ms
+        "rows": 2 * l,
+        "correct": ok,
+    }
+
+
+def bench_roundtrip(logn: int):
+    """COMPLETE homomorphic AES-128: 10-round encrypt + 10-round decrypt
+    (correct inverse order, fixing reference quirk Q1) + exact roundtrip —
+    the reference's 22,146 s headline (README.md:119), bootstrap-stabilized
+    with no secret key in the hot path."""
+    from aes_fhe_tpu.aes.pipeline import AES128, SnapPolicy
+    from aes_fhe_tpu.aes import reference as R
+
+    ctx, enc = build(logn, 96, secret_hamming=192)
+    rng = np.random.default_rng(0)
+    states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
+    key = np.arange(16, dtype=np.uint8)
+    rks = R.expand_aes128_key(key)
+
+    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=True)
+    t0 = time.time()
+    ct = pipe.encrypt_states(states, rks)
+    jax.block_until_ready((ct[0].data, ct[1].data))
+    log(f"10-round encrypt (incl warmup compiles): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    ct_enc = pipe.encrypt_states(states, rks)
+    jax.block_until_ready((ct_enc[0].data, ct_enc[1].data))
+    t_enc = time.time() - t0
+    log(f"steady 10-round encrypt: {t_enc:.1f}s")
+
+    want_ct = np.stack([R.aes128_encrypt_state(s, rks) for s in states[:4]])
+    ok_enc = bool(np.array_equal(pipe.decode(ct_enc, n_blocks=4), want_ct))
+    log(f"encrypt correctness (4 blocks): {ok_enc}")
+
+    t0 = time.time()
+    ct_dec = pipe.decrypt_states(ct_enc, rks)
+    jax.block_until_ready((ct_dec[0].data, ct_dec[1].data))
+    t_dec = time.time() - t0
+    log(f"10-round decrypt (incl warmup compiles): {t_dec:.1f}s "
+        f"(bootstraps so far: {ctx.stats['bootstrap']})")
+
+    got = pipe.decode(ct_dec, n_blocks=4)
+    ok = bool(np.array_equal(got, states[:4]))
+    log(f"roundtrip correctness (4 blocks): {ok}")
+    total = t_enc + t_dec
+    return {
+        "metric": "aes128_roundtrip_sec",
+        "value": total,
+        "unit": "s",
+        "vs_baseline": 22146.0 / total,
+        "correct": ok,
+        "encrypt_sec": t_enc,
+        "decrypt_sec": t_dec,
+        "blocks_per_ct": enc.batch,
+    }
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "round"
     logn = int(sys.argv[2]) if len(sys.argv) > 2 else (15 if mode != "ark" else 14)
@@ -263,6 +404,12 @@ def main() -> None:
         result = bench_ark(logn)
     elif mode == "enc10":
         result = bench_enc10(logn)
+    elif mode == "roundtrip":
+        result = bench_roundtrip(logn)
+    elif mode == "ks":
+        result = bench_ks(logn)
+    elif mode == "ntt":
+        result = bench_ntt(logn)
     else:
         result = bench_round(logn, inverse=(mode == "invround"))
     print(json.dumps(result))
