@@ -120,7 +120,7 @@ def build_power_basis(
             true_targets.add(k)
     basis: dict[int, Ciphertext] = {1: ct}
     for k, a, b in power_schedule(true_targets):
-        basis[k] = ctx.multiply(basis[a], basis[b], drop=2)
+        basis[k] = ctx.multiply(basis[a], basis[b])
     for k, src in conj_from.items():
         basis[k] = ctx.conjugate(basis[src])
     return basis

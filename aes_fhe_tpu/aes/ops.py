@@ -189,7 +189,7 @@ class SubBytes:
         lb = build_power_basis(ctx, ct_lo, self.lift_need, mirror=16)
         lifted = eval_lut_2d(ctx, self.lift, [None], _basis_list(lb, 16))
         # 2) recombine to the byte codeword zeta256^b
-        ct_b = ctx.multiply(ct_hi, lifted, drop=2)
+        ct_b = ctx.multiply(ct_hi, lifted)
         # 3) shared babies + giants
         targets = set(range(2, 16)) | {16 * j for j in range(1, 9)}
         return build_power_basis(ctx, ct_b, targets)
@@ -450,7 +450,7 @@ class Snap:
     def _one_impl(self, ct: Ciphertext) -> Ciphertext:
         ctx = self.ctx
         basis = build_power_basis(ctx, ct, {16})
-        x17 = ctx.multiply(basis[16], ct, drop=2)
+        x17 = ctx.multiply(basis[16], ct)
         coeffs = np.zeros((1, 18), np.complex128)
         coeffs[0, 1] = 17.0 / 16.0
         coeffs[0, 17] = -1.0 / 16.0
@@ -516,7 +516,7 @@ class NoiseReducer:
         ctx = self.ctx
         m = self.m
         basis = build_power_basis(ctx, ct, {m})
-        x_m1 = ctx.multiply(basis[m], ct, drop=2)
+        x_m1 = ctx.multiply(basis[m], ct)
         coeffs = np.zeros((1, m + 2), np.complex128)
         coeffs[0, 1] = 1.0 + 1.0 / m
         coeffs[0, m + 1] = -1.0 / m

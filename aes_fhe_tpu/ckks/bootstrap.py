@@ -127,9 +127,10 @@ class Bootstrapper:
         # (any excess would amplify through the Taylor power basis)
         l = t_ct.n_limbs
         p = ctx.params
-        drops = p.moduli[l - 1] * p.moduli[l - 2]
+        nd = p.rescale_drop
+        drops = math.prod(p.moduli[l - 1 - i] for i in range(nd))
         s_c = Fraction(p.scale) * drops / t_ct.scale
-        w = ctx.rescale(ctx.mul_scalar(t_ct, c, s_c), 2)
+        w = ctx.rescale(ctx.mul_scalar(t_ct, c, s_c), nd)
         basis = build_power_basis(
             ctx, w, set(range(2, self.taylor_deg + 1))
         )
@@ -143,14 +144,14 @@ class Bootstrapper:
             ctx, coeffs, [None], by, min_coeff_scale_bits=36
         )
         for _ in range(self.r):
-            z = ctx.multiply(z, z, drop=2)
+            z = ctx.multiply(z, z)
 
         # arcsin correction: x ~ s + (2pi)^2/6 * s^3, s = (z - zbar)/(4*pi*i),
         # s^3 = ((z^3 - zbar^3) - 3(z - zbar)) / (4*pi*i)^3
         #  => x ~ a*(z - zbar) + b*(z^3 - zbar^3),
         #     a = -9i/(32*pi),  b = +i/(96*pi)
         # (verified numerically: residual ~1e-9 on the working range)
-        z3 = ctx.multiply(ctx.multiply(z, z, drop=2), z, drop=2)
+        z3 = ctx.multiply(ctx.multiply(z, z), z)
         d1 = ctx.sub(z, ctx.conjugate(z))
         d3 = ctx.sub(z3, ctx.conjugate(z3))
         l = min(d1.n_limbs, d3.n_limbs)

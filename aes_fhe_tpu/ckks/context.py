@@ -889,11 +889,17 @@ class CkksContext:
         d1 = add_mod(ct.data[..., 1, :, :], ks1, q)
         return ct.with_data(jnp.stack([d0, d1], axis=-3))
 
-    def multiply(self, a: Ciphertext, b: Ciphertext, drop: int = 2) -> Ciphertext:
+    def multiply(
+        self, a: Ciphertext, b: Ciphertext, drop: int | None = None
+    ) -> Ciphertext:
         """ct x ct with relinearization and rescale (reference auto-relin
         multiply, engine_context.py:65-68).  Rescale runs FIRST (on the
         3-poly tensor) so the relinearization key switch operates at
-        ``drop`` fewer limbs — same result, cheaper dominant kernel."""
+        ``drop`` fewer limbs — same result, cheaper dominant kernel.
+        ``drop`` defaults to params.rescale_drop (2 on Δ=2^58 chains, 1 on
+        Δ=2^29 single-prime chains)."""
+        if drop is None:
+            drop = self.params.rescale_drop
         out = self.rescale(self.tensor(a, b), drop)
         return self.relinearize(out)
 

@@ -147,6 +147,15 @@ class CkksParams:
         """How many primes may ever be dropped (keep the base intact)."""
         return self.n_limbs - self.n_base
 
+    @property
+    def rescale_drop(self) -> int:
+        """Level primes one rescale-after-multiply drops to return a squared
+        scale to ~Δ: 2 for the Δ=2^58 double-prime-rescale chains, 1 for the
+        Δ=2^29 single-prime chains (the depth-diet configuration — every
+        multiply then burns half the limbs, so each AES round runs ~2x
+        shallower and every key switch proportionally cheaper)."""
+        return max(1, round(math.log2(self.scale) / math.log2(self.moduli[-1])))
+
     @functools.cached_property
     def q_products(self) -> tuple[int, ...]:
         """q_products[l] = product of moduli[:l]  (Q at limb-count l)."""
