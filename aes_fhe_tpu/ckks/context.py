@@ -335,11 +335,12 @@ class CkksContext:
 
         psi = _primitive_2n_root(q, two_n)
         # host NTT of the monomial X
+        from ..core.ntt import _pow_table
+
         brev = bit_reverse_perm(p.logn)
-        pows = np.empty(n, np.uint64)
-        pows[0] = 1
-        for j in range(1, n):
-            pows[j] = pows[j - 1] * psi % q
+        pows = _pow_table(
+            np.asarray([psi], np.uint64), np.asarray([q], np.uint64), n
+        )[0]
         psi_br = pows[brev]
         x = np.zeros(n, np.uint64)
         x[1] = 1
@@ -350,12 +351,13 @@ class CkksContext:
             S = psi_br[m : 2 * m].reshape(m, 1)
             U, V = xs[:, 0], xs[:, 1] * S % q
             x = np.stack([(U + V) % q, (U + q - V) % q], 1).reshape(n)
-        dlog = {}
-        v = 1
-        for t in range(two_n):
-            dlog[v] = t
-            v = v * psi % q
-        e_map = np.array([dlog[int(val)] for val in x], np.int64)
+        full = _pow_table(
+            np.asarray([psi], np.uint64), np.asarray([q], np.uint64), two_n
+        )[0]
+        order = np.argsort(full)
+        pos = np.searchsorted(full[order], x)
+        assert (full[order][pos] == x).all()
+        e_map = order[pos].astype(np.int64)
         inv_e = np.full(two_n, -1, np.int64)
         inv_e[e_map] = np.arange(n)
         return e_map, inv_e
@@ -364,18 +366,16 @@ class CkksContext:
         """NTT-domain values of X^{N/2} per prime, Montgomery form: [L+K, N]."""
         p = self.params
         exps = (self._e_map * (p.n // 2)) % p.two_n
-        out = np.empty((self.n_all, p.n), np.uint32)
-        from ..core.ntt import _primitive_2n_root
+        from ..core.ntt import _primitive_2n_root, _pow_table
 
-        for i, q in enumerate(p.all_primes):
-            psi = _primitive_2n_root(q, p.two_n)
-            # psi^t * R mod q for t in the two possible exponents
-            table = np.empty(p.two_n, np.uint64)
-            v = 1
-            for t in range(p.two_n):
-                table[t] = v * _R % q
-                v = v * psi % q
-            out[i] = table[exps].astype(np.uint32)
+        qv = np.asarray(p.all_primes, np.uint64)
+        roots = np.asarray(
+            [_primitive_2n_root(int(q), p.two_n) for q in qv], np.uint64
+        )
+        # psi^t for every t, then Montgomery-form and gather the exponents
+        table = _pow_table(roots, qv, p.two_n)  # [L+K, 2N] u64
+        sel = table[:, exps]  # [L+K, N]
+        out = ((sel << np.uint64(32)) % qv[:, None]).astype(np.uint32)
         return jnp.asarray(out)
 
     def galois_element_for_rotation(self, delta: int) -> int:

@@ -72,10 +72,26 @@ def _primitive_2n_root(q: int, two_n: int) -> int:
 @functools.lru_cache(maxsize=64)
 def bit_reverse_perm(logn: int) -> np.ndarray:
     n = 1 << logn
+    idx = np.arange(n, dtype=np.int64)
     perm = np.zeros(n, dtype=np.int64)
-    for i in range(n):
-        perm[i] = int(f"{i:0{logn}b}"[::-1], 2)
+    for b in range(logn):
+        perm |= ((idx >> b) & 1) << (logn - 1 - b)
     return perm
+
+
+def _pow_table(base: np.ndarray, q: np.ndarray, n: int) -> np.ndarray:
+    """[L] bases -> [L, n] power tables base^j mod q, vectorized log-doubling
+    (u64 exact: q < 2^31 so every partial product < 2^62)."""
+    L = base.shape[0]
+    out = np.empty((L, n), np.uint64)
+    out[:, 0] = 1
+    m = 1
+    while m < n:
+        w = min(m, n - m)
+        step = out[:, m - 1] * base % q  # base^m
+        out[:, m : m + w] = out[:, :w] * step[:, None] % q[:, None]
+        m *= 2
+    return out
 
 
 def build_ntt_tables(primes: tuple[int, ...], logn: int) -> NttTables:
@@ -84,33 +100,29 @@ def build_ntt_tables(primes: tuple[int, ...], logn: int) -> NttTables:
     two_n = 2 * n
     brev = bit_reverse_perm(logn)
     L = len(primes)
-    psi_t = np.empty((L, n), dtype=np.uint32)
-    psi_inv_t = np.empty((L, n), dtype=np.uint32)
-    ninv_t = np.empty((L,), dtype=np.uint32)
     R = 1 << 32
-    for i, q in enumerate(primes):
-        psi = _primitive_2n_root(q, two_n)
-        psi_inv = pow(psi, -1, q)
-        # psi^j for j = 0..N-1 by cumulative product (u64 exact: q < 2^31).
-        pows = np.empty(n, dtype=np.uint64)
-        pows[0] = 1
-        for j in range(1, n):
-            pows[j] = pows[j - 1] * psi % q
-        ipows = np.empty(n, dtype=np.uint64)
-        ipows[0] = 1
-        for j in range(1, n):
-            ipows[j] = ipows[j - 1] * psi_inv % q
-        psi_t[i] = ((pows[brev] << np.uint64(32)) % q).astype(np.uint32)
-        psi_inv_t[i] = ((ipows[brev] << np.uint64(32)) % q).astype(np.uint32)
-        ninv_t[i] = (pow(n, -1, q) * R) % q
+    qv = np.asarray(primes, np.uint64)
+    roots = np.asarray(
+        [_primitive_2n_root(q, two_n) for q in primes], np.uint64
+    )
+    iroots = np.asarray(
+        [pow(int(r), -1, int(q)) for r, q in zip(roots, qv)], np.uint64
+    )
+    pows = _pow_table(roots, qv, n)
+    ipows = _pow_table(iroots, qv, n)
+    psi_t = ((pows[:, brev] << np.uint64(32)) % qv[:, None]).astype(np.uint32)
+    psi_inv_t = ((ipows[:, brev] << np.uint64(32)) % qv[:, None]).astype(
+        np.uint32
+    )
+    ninv_t = np.asarray(
+        [(pow(n, -1, int(q)) * R) % int(q) for q in qv], np.uint32
+    )
     qs = np.asarray(primes, dtype=np.uint32)
     qinvs = np.asarray([(-pow(int(q), -1, R)) % R for q in primes], np.uint32)
+    # numpy on purpose: tables are trace-safe constants; converting here
+    # would ship ~25 MB through the host<->TPU tunnel before it's needed.
     return NttTables(
-        psi=jnp.asarray(psi_t),
-        psi_inv=jnp.asarray(psi_inv_t),
-        ninv=jnp.asarray(ninv_t),
-        q=jnp.asarray(qs),
-        q_neg_inv=jnp.asarray(qinvs),
+        psi=psi_t, psi_inv=psi_inv_t, ninv=ninv_t, q=qs, q_neg_inv=qinvs
     )
 
 

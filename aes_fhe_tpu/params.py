@@ -153,8 +153,15 @@ class CkksParams:
         scale to ~Δ: 2 for the Δ=2^58 double-prime-rescale chains, 1 for the
         Δ=2^29 single-prime chains (the depth-diet configuration — every
         multiply then burns half the limbs, so each AES round runs ~2x
-        shallower and every key switch proportionally cheaper)."""
-        return max(1, round(math.log2(self.scale) / math.log2(self.moduli[-1])))
+        shallower and every key switch proportionally cheaper).
+
+        Derived from the *geometric mean* of the level primes (robust to a
+        hand-built chain with mixed-size level primes); ``validate()``
+        asserts the resulting drop actually re-targets Δ to within 2^2 —
+        mis-matched drops amplify exponentially through power bases."""
+        levels = self.moduli[self.n_base :] or self.moduli
+        mean_bits = sum(math.log2(q) for q in levels) / len(levels)
+        return max(1, round(math.log2(self.scale) / mean_bits))
 
     @functools.cached_property
     def q_products(self) -> tuple[int, ...]:
@@ -196,6 +203,21 @@ class CkksParams:
             assert p % tn == 1, f"{p} != 1 mod {tn}"
             assert p < (1 << 31), f"{p} >= 2^31 (breaks u32 Montgomery)"
         assert len(set(self.all_primes)) == len(self.all_primes), "dup primes"
+        # One rescale must re-target the scale: the product of the top
+        # `rescale_drop` level primes has to sit within 2^2 of Δ, else the
+        # post-multiply scale deficit compounds through every power basis
+        # (ADVICE r1: scale_bits=44 over 29-bit primes would silently give
+        # drop=2 and a ~2^14 deficit).
+        if self.n_limbs > self.n_base:
+            d = self.rescale_drop
+            drop_bits = sum(
+                math.log2(q) for q in self.moduli[self.n_limbs - d :]
+            )
+            assert abs(drop_bits - math.log2(self.scale)) <= 2.0, (
+                f"rescale_drop={d} drops 2^{drop_bits:.1f} but scale is "
+                f"2^{math.log2(self.scale):.1f}; use scale_bits matching "
+                f"an integer multiple of the level-prime size"
+            )
         # Special-prime product must dominate every digit-group product.
         for grp in self.groups:
             bj = math.prod(self.moduli[i] for i in grp)

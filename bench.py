@@ -23,6 +23,7 @@ Modes:  python bench.py [round|invround|enc10|ark] [logn]
 from __future__ import annotations
 
 import json
+import signal
 import sys
 import time
 
@@ -42,6 +43,42 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Watchdog: the round-1 driver run died rc=124 with NO json (keygen + cold
+# compiles overran the external timeout).  Now the bench *always* prints a
+# JSON line: a progress dict is updated as phases complete, and a SIGALRM
+# fires at AES_FHE_BENCH_BUDGET seconds (default 480) printing the best
+# available partial result before the external timeout can kill us.
+# ---------------------------------------------------------------------------
+PROGRESS: dict = {"metric": "aes128_round_sec", "value": None, "unit": "s",
+                  "vs_baseline": None, "partial": True, "phase": "startup"}
+_T_START = time.time()
+
+
+def note(**kw):
+    PROGRESS.update(kw)
+    PROGRESS["elapsed_sec"] = round(time.time() - _T_START, 1)
+
+
+def _alarm(_sig, _frm):
+    log(f"WATCHDOG: budget hit in phase {PROGRESS.get('phase')!r}; "
+        "emitting partial result")
+    if PROGRESS.get("value") is None:
+        # no steady-state measurement yet: report the phase we died in with
+        # the elapsed wall time so the driver records *something* attributable
+        PROGRESS["value"] = round(time.time() - _T_START, 1)
+        PROGRESS["timed_out_in"] = PROGRESS.get("phase")
+    print(json.dumps(PROGRESS), flush=True)
+    _os._exit(0)
+
+
+def arm_watchdog():
+    budget = int(_os.environ.get("AES_FHE_BENCH_BUDGET", "480"))
+    if budget > 0:
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(budget)
 
 
 def build(logn: int, n_level_primes: int, secret_hamming: int | None = None):
@@ -64,6 +101,7 @@ def build(logn: int, n_level_primes: int, secret_hamming: int | None = None):
         f"context+keygen: {time.time()-t0:.1f}s  (N=2^{logn}, "
         f"L={params.n_limbs}, K={params.n_special}, batch={enc.batch})"
     )
+    note(phase="warmup", keygen_sec=round(time.time() - t0, 1))
     return ctx, enc
 
 
@@ -155,17 +193,26 @@ def bench_round(logn: int, inverse: bool = False):
     want_jit = os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
     ct0 = enc.encrypt(states)
     t0 = time.time()
+    exec_path = "jit" if want_jit else "eager"
     try:
         pipe, one_round = make_round(use_jit=want_jit)
         out = one_round(ct0)
         jax.block_until_ready((out[0].data, out[1].data))
     except Exception as e:  # remote compiler may kill very large programs
         log(f"jitted-op round failed ({type(e).__name__}); eager fallback")
+        exec_path = "eager-fallback"
         pipe, one_round = make_round(use_jit=False)
         out = one_round(ct0)
         jax.block_until_ready((out[0].data, out[1].data))
     warm = time.time() - t0
     log(f"warmup round (incl compiles): {warm:.1f}s")
+    # provisional result: if the watchdog fires during the steady runs, the
+    # warmup-round time is still an honest (pessimistic) round time
+    metric = "aes128_inv_round_sec" if inverse else "aes128_round_sec"
+    ref_sec0 = 13938.0 / 10 if inverse else 810.0
+    note(phase="steady", metric=metric, value=round(warm, 2),
+         vs_baseline=round(ref_sec0 / warm, 1), warmup_sec=round(warm, 1),
+         exec_path=exec_path, includes_compile=True)
 
     times = []
     for _ in range(2):
@@ -210,6 +257,11 @@ def bench_round(logn: int, inverse: bool = False):
         "vs_baseline": ref_sec / t_med,
         "correct": ok,
         "blocks_per_ct": enc.batch,
+        "exec_path": exec_path,
+        "keys": "materialized-a"
+        if _os.environ.get("AES_FHE_MAT_KEYS", "1") != "0"
+        else "seed-compressed",
+        "warmup_sec": round(warm, 1),
     }
 
 
@@ -399,6 +451,17 @@ def bench_roundtrip(logn: int):
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "round"
     logn = int(sys.argv[2]) if len(sys.argv) > 2 else (15 if mode != "ark" else 14)
+    arm_watchdog()
+    metric_by_mode = {
+        "ark": "aes128_addroundkey_sec",
+        "enc10": "aes128_encrypt10_sec",
+        "roundtrip": "aes128_roundtrip_sec",
+        "ks": "keyswitch_sec",
+        "ntt": "ntt_sec",
+        "invround": "aes128_inv_round_sec",
+    }
+    note(phase="context+keygen",
+         metric=metric_by_mode.get(mode, "aes128_round_sec"))
     log(f"devices: {jax.devices()}  mode={mode} logn={logn}")
     if mode == "ark":
         result = bench_ark(logn)
@@ -412,6 +475,8 @@ def main() -> None:
         result = bench_ntt(logn)
     else:
         result = bench_round(logn, inverse=(mode == "invround"))
+    signal.alarm(0)
+    result["total_sec"] = round(time.time() - _T_START, 1)
     print(json.dumps(result))
 
 
