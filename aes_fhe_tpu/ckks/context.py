@@ -174,6 +174,7 @@ class CkksContext:
         # call).
         self._traced_mode = False
         self._jnp_state = None
+        self._ntt_override = None  # (fwd, inv) — see parallel/sp.py
 
         # --- keys -----------------------------------------------------------
         self._rng = np.random.default_rng(seed)
@@ -256,7 +257,12 @@ class CkksContext:
         )
 
     # -- NTT dispatch: every device-path transform goes through these -----
+    # ``_ntt_override`` lets a distributed wrapper (parallel/sp.py) reroute
+    # the transforms to coefficient-sharded collective implementations while
+    # reusing every compound kernel (keyswitch, rescale, mod-down) verbatim.
     def _ntt(self, x, rows: tuple[int, ...]):
+        if self._ntt_override is not None:
+            return self._ntt_override[0](x, rows)
         if self.ntt_impl == "pallas":
             return ntt_pl(
                 x, self._ptables_rows(rows), interpret=self._pl_interpret
@@ -264,6 +270,8 @@ class CkksContext:
         return ntt(x, self._tables_rows(rows))
 
     def _intt(self, x, rows: tuple[int, ...]):
+        if self._ntt_override is not None:
+            return self._ntt_override[1](x, rows)
         if self.ntt_impl == "pallas":
             return intt_pl(
                 x, self._ptables_rows(rows), interpret=self._pl_interpret

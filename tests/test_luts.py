@@ -5,8 +5,11 @@ Mirrors the reference's quick_verify discipline
 vector for the plain AES golden model."""
 
 import numpy as np
+import pytest
 
 from aes_fhe_tpu.aes import luts, reference as R
+
+pytestmark = pytest.mark.fast
 
 
 def test_xor4_coeffs_exact():

@@ -10,6 +10,8 @@ import pytest
 
 from aes_fhe_tpu.aes import luts, luts_io
 
+pytestmark = pytest.mark.fast
+
 REF_COEFF = Path("/root/reference/gen/coeff")
 
 

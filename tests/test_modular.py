@@ -1,11 +1,14 @@
 """Golden tests for u32 modular primitives vs exact numpy u64 arithmetic."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from aes_fhe_tpu.core import modular as _M
 from aes_fhe_tpu.params import find_ntt_primes
+
+pytestmark = pytest.mark.fast
 
 PRIMES = find_ntt_primes(4, 29.0, 1 << 9) + find_ntt_primes(2, 30.98, 1 << 9)
 

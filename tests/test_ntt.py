@@ -2,10 +2,13 @@
 naive O(N^2) schoolbook model (exact integer arithmetic)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from aes_fhe_tpu.core.ntt import build_ntt_tables, ntt_jit as ntt, intt_jit as intt
 from aes_fhe_tpu.params import find_ntt_primes
+
+pytestmark = pytest.mark.fast
 
 
 def _naive_negacyclic(a, b, q):

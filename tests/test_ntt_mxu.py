@@ -13,6 +13,8 @@ from aes_fhe_tpu.params import find_ntt_primes
 from aes_fhe_tpu.core.ntt import build_ntt_tables, ntt_jit, intt_jit
 from aes_fhe_tpu.core.ntt_mxu import build_mxu_tables, ntt_mxu, intt_mxu
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.mark.parametrize("logn", [8, 9, 10])
 def test_mxu_matches_butterfly(logn):

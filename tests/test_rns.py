@@ -20,6 +20,8 @@ from aes_fhe_tpu.core.rns import (
     base_convert_centered,
 )
 
+pytestmark = pytest.mark.fast
+
 
 def _random_residues(rng, src, n, big_vals):
     """Residues of the given big integers: [m, n] u32."""
