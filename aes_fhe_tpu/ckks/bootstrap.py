@@ -58,12 +58,22 @@ class Bootstrapper:
         taylor_deg: int = 12,
         K: int | None = None,
         theta_max: float = 0.35,
-        boot_scale_bits: int = 20,
+        boot_scale_bits: int | None = None,
         c2s_diag_bits: int = 40,
         use_jit: bool = False,
     ):
         self.ctx = ctx
         p = ctx.params
+        if boot_scale_bits is None:
+            # The refresh amplifies every error made after ModRaise by
+            # q0/Delta_b (the message sits that far below the working
+            # scale).  On Δ=2^58 chains the noise floor (~2^-40) affords
+            # Delta_b = 2^20 (amplification 2^10); on Δ=2^29 depth-diet
+            # chains the floor is ~2^-20, so Delta_b must rise to 2^26
+            # (amplification 2^4) or the message drowns (measured: err
+            # 1.1 at 2^20 -> 1.5e-2 at 2^26, logn=7 — the snap polynomial
+            # then re-anchors exactly).
+            boot_scale_bits = 20 if p.scale >= (1 << 40) else 26
         h = ctx.secret_hamming or (2 * p.n) // 3
         if K is None:
             # centered ModRaise: per-coefficient spread sigma ~ sqrt(h/12)*q0

@@ -21,6 +21,7 @@ import math
 from dataclasses import dataclass
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .modular import add_mod, sub_mod, mont_mul, barrett_reduce
@@ -116,10 +117,20 @@ def _conv_matmul(y: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
     """
     tq = t.tgt_q[:, None]
     tqi = t.tgt_qinv[:, None]
+    # bf16 planes feed the MXU on TPU; XLA:CPU's thunk runtime cannot
+    # execute batched BF16xBF16=F32 dots (hit by the SPMD-partitioned
+    # dryrun), so off-TPU the planes ride f32 — identical values (8-bit
+    # digits are exact in either type), identical results.
+    try:
+        plane_t = (
+            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        )
+    except Exception:
+        plane_t = jnp.float32
     y_digits = [
-        ((y >> (8 * k)) & 0xFF).astype(jnp.bfloat16) for k in range(4)
+        ((y >> (8 * k)) & 0xFF).astype(plane_t) for k in range(4)
     ]
-    g = t.g_digits  # [4, m, T] bf16, standard-form digits
+    g = t.g_digits.astype(plane_t)  # [4, m, T] standard-form digits
     acc = None
     for s in range(7):
         p_s = None

@@ -62,7 +62,7 @@ def note(**kw):
     PROGRESS["elapsed_sec"] = round(time.time() - _T_START, 1)
 
 
-def _alarm(_sig, _frm):
+def _emit_partial():
     log(f"WATCHDOG: budget hit in phase {PROGRESS.get('phase')!r}; "
         "emitting partial result")
     if PROGRESS.get("value") is None:
@@ -74,21 +74,55 @@ def _alarm(_sig, _frm):
     _os._exit(0)
 
 
+def _alarm(_sig, _frm):
+    _emit_partial()
+
+
 def arm_watchdog():
     budget = int(_os.environ.get("AES_FHE_BENCH_BUDGET", "480"))
     if budget > 0:
         signal.signal(signal.SIGALRM, _alarm)
         signal.alarm(budget)
+        # SIGALRM only runs between Python bytecodes of the main thread; a
+        # multi-minute remote-compile RPC blocks it past the external
+        # timeout (round-2 finding: the 29-bit warmup died rc=124 with no
+        # JSON).  A daemon timer thread fires regardless, as long as the
+        # RPC releases the GIL (it does — it's IO).
+        import threading
+
+        t = threading.Timer(budget + 5.0, _emit_partial)
+        t.daemon = True
+        t.start()
 
 
-def build(logn: int, n_level_primes: int, secret_hamming: int | None = None):
+def fetch_sync(*arrays):
+    """Force completion AND observe it: on the axon TPU tunnel
+    ``block_until_ready`` can return before the computation finishes (round-2
+    finding: a full AES round 'measured' 0.02 s that way), so every timing
+    loop must fetch a dependent value.  A [1,1] slice makes the fetch itself
+    ~4 bytes + one ~28 ms RTT — negligible against multi-second kernels."""
+    for a in arrays:
+        jax.device_get(a[(0,) * (a.ndim - 2) + (slice(0, 1), slice(0, 1))])
+
+
+def build(
+    logn: int,
+    n_level_primes: int,
+    secret_hamming: int | None = None,
+    scale_bits: int = 58,
+):
     from aes_fhe_tpu.params import make_params
     from aes_fhe_tpu.ckks import CkksContext
     from aes_fhe_tpu.aes.state import StateEncoder
     from aes_fhe_tpu.aes.ops import rotation_steps_required
 
     t0 = time.time()
-    params = make_params(logn=logn, n_level_primes=n_level_primes, dnum=3)
+    params = make_params(
+        logn=logn,
+        n_level_primes=n_level_primes,
+        dnum=3,
+        scale_bits=scale_bits,
+    )
     stride = params.n_slots // 16
     ctx = CkksContext(
         params,
@@ -120,14 +154,14 @@ def bench_ark(logn: int):
 
     t0 = time.time()
     out = step(*args)
-    jax.block_until_ready(out)
+    fetch_sync(*out)
     log(f"warmup (compiles): {time.time()-t0:.1f}s")
 
     times = []
     for _ in range(5):
         t0 = time.time()
         out = step(*args)
-        jax.block_until_ready(out)
+        fetch_sync(*out)
         times.append(time.time() - t0)
     t_med = float(np.median(times))
     log(f"times: {['%.3f' % t for t in times]}")
@@ -147,15 +181,21 @@ def bench_ark(logn: int):
     }
 
 
-def bench_round(logn: int, inverse: bool = False):
+def bench_round(logn: int, inverse: bool = False, scale_bits: int = 29):
     from aes_fhe_tpu.aes.pipeline import AES128, SnapPolicy
     from aes_fhe_tpu.aes import reference as R
 
-    # one full round consumes 63 limbs (measured); 68 level primes leaves
-    # base + margin.  NOTE: logQP at these settings exceeds the
-    # 128-bit-security bound for this N — acceptable for a performance
-    # benchmark; production parameters use N=2^16 with bootstrapping.
-    ctx, enc = build(logn, 68)
+    # Depth diet (round 2): the default chain is Δ=2^29 with single-prime
+    # rescale — a full round consumes 35 limbs (vs 63 on the Δ=2^58
+    # double-prime chain), bit-exact (zeta16 phase decode needs only
+    # ~2^-5 slot precision; 2^29 leaves ~2^-20 after the degree-255
+    # S-box amplification).  Every key switch runs at ~60% of the limbs.
+    # ``round58`` keeps the deep chain measurable.  NOTE: logQP at these
+    # settings exceeds the 128-bit-security bound for this N — acceptable
+    # for a performance benchmark; production parameters use N=2^16 with
+    # bootstrapping.
+    n_level = 68 if scale_bits == 58 else 40
+    ctx, enc = build(logn, n_level, scale_bits=scale_bits)
     if _os.environ.get("AES_FHE_MAT_KEYS", "1") != "0":
         t0 = time.time()
         nb = ctx.materialize_key_a()
@@ -197,13 +237,13 @@ def bench_round(logn: int, inverse: bool = False):
     try:
         pipe, one_round = make_round(use_jit=want_jit)
         out = one_round(ct0)
-        jax.block_until_ready((out[0].data, out[1].data))
+        fetch_sync(out[0].data, out[1].data)
     except Exception as e:  # remote compiler may kill very large programs
         log(f"jitted-op round failed ({type(e).__name__}); eager fallback")
         exec_path = "eager-fallback"
         pipe, one_round = make_round(use_jit=False)
         out = one_round(ct0)
-        jax.block_until_ready((out[0].data, out[1].data))
+        fetch_sync(out[0].data, out[1].data)
     warm = time.time() - t0
     log(f"warmup round (incl compiles): {warm:.1f}s")
     # provisional result: if the watchdog fires during the steady runs, the
@@ -218,7 +258,7 @@ def bench_round(logn: int, inverse: bool = False):
     for _ in range(2):
         t0 = time.time()
         out = one_round(ct0)
-        jax.block_until_ready((out[0].data, out[1].data))
+        fetch_sync(out[0].data, out[1].data)
         times.append(time.time() - t0)
     t_med = float(np.median(times))
     log(f"round times: {['%.2f' % t for t in times]}")
@@ -272,27 +312,35 @@ def bench_enc10(logn: int):
     from aes_fhe_tpu.aes.pipeline import AES128, SnapPolicy
     from aes_fhe_tpu.aes import reference as R
 
-    # bootstrap budget: at logn=15 each DFT direction has 5 merged stages
-    # (vs 2-3 at unit-test ring sizes), so the refresh must start from 96
-    # level primes to land ~48 limbs — snap (~12) + deepest op (SubBytes,
-    # 26) then fit between stabilizes.  Sparse secret keeps EvalMod's range
-    # small.
-    ctx, enc = build(logn, 96, secret_hamming=192)
+    # bootstrap budget on the Δ=2^29 depth-diet chain: every multiply burns
+    # ONE ~29-bit limb — the refresh itself (5 merged C2S stages, EvalMod's
+    # ~16 multiplies, 5 S2C stages, rebase) plus the deepest inter-refresh
+    # segment (SubBytes ~14, snap ~7) fits in 60 level primes, vs 96
+    # double-width limbs on the Δ=2^58 chain.  Requires the adaptive
+    # bootstrap scale (Delta_b = 2^26 on shallow chains, ckks/bootstrap.py)
+    # — at the 58-bit default Delta_b = 2^20 the q0/Delta_b amplification
+    # drowned the message in the 29-bit noise floor.  Sparse secret keeps
+    # EvalMod's range small.
+    ctx, enc = build(logn, 60, secret_hamming=192, scale_bits=29)
     rng = np.random.default_rng(0)
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
     key = np.arange(16, dtype=np.uint8)
     rks = R.expand_aes128_key(key)
 
-    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=True)
+    want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
+    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit)
     t0 = time.time()
     ct = pipe.encrypt_states(states, rks)
-    jax.block_until_ready((ct[0].data, ct[1].data))
+    fetch_sync(ct[0].data, ct[1].data)
     warm = time.time() - t0
     log(f"warmup 10-round encrypt (incl compiles): {warm:.1f}s")
+    note(phase="steady", value=round(warm, 2),
+         vs_baseline=round(8208.0 / warm, 1), warmup_sec=round(warm, 1),
+         includes_compile=True)
 
     t0 = time.time()
     ct = pipe.encrypt_states(states, rks)
-    jax.block_until_ready((ct[0].data, ct[1].data))
+    fetch_sync(ct[0].data, ct[1].data)
     t_run = time.time() - t0
     log(f"steady 10-round encrypt: {t_run:.1f}s "
         f"(bootstraps: {ctx.stats['bootstrap']})")
@@ -308,6 +356,8 @@ def bench_enc10(logn: int):
         "vs_baseline": 8208.0 / t_run,
         "correct": ok,
         "blocks_per_ct": enc.batch,
+        "exec_path": "jit" if want_jit else "eager",
+        "bootstraps": ctx.stats["bootstrap"],
     }
 
 
@@ -403,21 +453,22 @@ def bench_roundtrip(logn: int):
     from aes_fhe_tpu.aes.pipeline import AES128, SnapPolicy
     from aes_fhe_tpu.aes import reference as R
 
-    ctx, enc = build(logn, 96, secret_hamming=192)
+    ctx, enc = build(logn, 60, secret_hamming=192, scale_bits=29)
     rng = np.random.default_rng(0)
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
     key = np.arange(16, dtype=np.uint8)
     rks = R.expand_aes128_key(key)
 
-    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=True)
+    want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
+    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit)
     t0 = time.time()
     ct = pipe.encrypt_states(states, rks)
-    jax.block_until_ready((ct[0].data, ct[1].data))
+    fetch_sync(ct[0].data, ct[1].data)
     log(f"10-round encrypt (incl warmup compiles): {time.time()-t0:.1f}s")
 
     t0 = time.time()
     ct_enc = pipe.encrypt_states(states, rks)
-    jax.block_until_ready((ct_enc[0].data, ct_enc[1].data))
+    fetch_sync(ct_enc[0].data, ct_enc[1].data)
     t_enc = time.time() - t0
     log(f"steady 10-round encrypt: {t_enc:.1f}s")
 
@@ -427,7 +478,7 @@ def bench_roundtrip(logn: int):
 
     t0 = time.time()
     ct_dec = pipe.decrypt_states(ct_enc, rks)
-    jax.block_until_ready((ct_dec[0].data, ct_dec[1].data))
+    fetch_sync(ct_dec[0].data, ct_dec[1].data)
     t_dec = time.time() - t0
     log(f"10-round decrypt (incl warmup compiles): {t_dec:.1f}s "
         f"(bootstraps so far: {ctx.stats['bootstrap']})")
@@ -445,6 +496,7 @@ def bench_roundtrip(logn: int):
         "encrypt_sec": t_enc,
         "decrypt_sec": t_dec,
         "blocks_per_ct": enc.batch,
+        "exec_path": "jit" if want_jit else "eager",
     }
 
 
@@ -473,6 +525,8 @@ def main() -> None:
         result = bench_ks(logn)
     elif mode == "ntt":
         result = bench_ntt(logn)
+    elif mode == "round58":
+        result = bench_round(logn, scale_bits=58)
     else:
         result = bench_round(logn, inverse=(mode == "invround"))
     signal.alarm(0)
