@@ -312,16 +312,16 @@ def bench_enc10(logn: int):
     from aes_fhe_tpu.aes.pipeline import AES128, SnapPolicy
     from aes_fhe_tpu.aes import reference as R
 
-    # bootstrap budget on the Δ=2^29 depth-diet chain: every multiply burns
-    # ONE ~29-bit limb — the refresh itself (5 merged C2S stages, EvalMod's
-    # ~16 multiplies, 5 S2C stages, rebase) plus the deepest inter-refresh
-    # segment (SubBytes ~14, snap ~7) fits in 60 level primes, vs 96
-    # double-width limbs on the Δ=2^58 chain.  Requires the adaptive
-    # bootstrap scale (Delta_b = 2^26 on shallow chains, ckks/bootstrap.py)
-    # — at the 58-bit default Delta_b = 2^20 the q0/Delta_b amplification
-    # drowned the message in the 29-bit noise floor.  Sparse secret keeps
-    # EvalMod's range small.
-    ctx, enc = build(logn, 60, secret_hamming=192, scale_bits=29)
+    # bootstrap budget: at logn=15 each DFT direction has 5 merged stages
+    # (vs 2-3 at unit-test ring sizes), so the refresh must start from 96
+    # level primes to land ~48 limbs — snap (~12) + deepest op (SubBytes,
+    # 26) then fit between stabilizes.  Sparse secret keeps EvalMod's
+    # range small.  Stays on the Δ=2^58 chain: on the Δ=2^29 depth-diet
+    # chain the refresh error is ~1.5e-2 even with the adaptive
+    # Delta_b = 2^26 (ckks/bootstrap.py) and the 2-round bootstrap-policy
+    # pipeline loses bit-exactness (measured on CPU, logn=8) — closing
+    # that last ~4 bits of refresh precision is the round-3 lever.
+    ctx, enc = build(logn, 96, secret_hamming=192)
     rng = np.random.default_rng(0)
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
     key = np.arange(16, dtype=np.uint8)
@@ -453,7 +453,7 @@ def bench_roundtrip(logn: int):
     from aes_fhe_tpu.aes.pipeline import AES128, SnapPolicy
     from aes_fhe_tpu.aes import reference as R
 
-    ctx, enc = build(logn, 60, secret_hamming=192, scale_bits=29)
+    ctx, enc = build(logn, 96, secret_hamming=192)
     rng = np.random.default_rng(0)
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
     key = np.arange(16, dtype=np.uint8)

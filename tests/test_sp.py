@@ -15,7 +15,6 @@ from aes_fhe_tpu.params import make_params
 from aes_fhe_tpu.ckks import CkksContext
 from aes_fhe_tpu.parallel.sp import SpCkks
 
-pytestmark = pytest.mark.fast
 
 
 @pytest.fixture(scope="module")
@@ -34,6 +33,7 @@ def sp_setup():
     return ctx, SpCkks(ctx, mesh)
 
 
+@pytest.mark.fast
 def test_sp_ntt_bit_exact(sp_setup, rng):
     ctx, sp = sp_setup
     p = ctx.params
@@ -55,6 +55,7 @@ def test_sp_ntt_bit_exact(sp_setup, rng):
     assert np.array_equal(goti, x)
 
 
+@pytest.mark.slow
 def test_sp_keyswitch_relin_bit_exact(sp_setup, rng):
     ctx, sp = sp_setup
     vals = rng.standard_normal(ctx.params.n_slots) * 0.3
@@ -66,6 +67,7 @@ def test_sp_keyswitch_relin_bit_exact(sp_setup, rng):
     assert got.scale == ref.scale
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("delta", [1, -1, 16, -48])
 def test_sp_rotate_bit_exact(sp_setup, rng, delta):
     ctx, sp = sp_setup
@@ -83,6 +85,7 @@ def test_sp_rotate_bit_exact(sp_setup, rng, delta):
     )
 
 
+@pytest.mark.slow
 def test_sp_conjugate_bit_exact(sp_setup, rng):
     ctx, sp = sp_setup
     vals = (
