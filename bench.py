@@ -181,19 +181,18 @@ def bench_ark(logn: int):
     }
 
 
-def bench_round(logn: int, inverse: bool = False, scale_bits: int = 29):
+def bench_round(logn: int, inverse: bool = False, scale_bits: int = 58):
     from aes_fhe_tpu.aes.pipeline import AES128, SnapPolicy
     from aes_fhe_tpu.aes import reference as R
 
-    # Depth diet (round 2): the default chain is Δ=2^29 with single-prime
-    # rescale — a full round consumes 35 limbs (vs 63 on the Δ=2^58
-    # double-prime chain), bit-exact (zeta16 phase decode needs only
-    # ~2^-5 slot precision; 2^29 leaves ~2^-20 after the degree-255
-    # S-box amplification).  Every key switch runs at ~60% of the limbs.
-    # ``round58`` keeps the deep chain measurable.  NOTE: logQP at these
-    # settings exceeds the 128-bit-security bound for this N — acceptable
-    # for a performance benchmark; production parameters use N=2^16 with
-    # bootstrapping.
+    # Default: the Δ=2^58 chain — measured COMPLETE on the TPU (round 2):
+    # 2.43 s/round bit-exact, 333x vs the reference's 810 s/round, under
+    # fetch-forced timing.  The Δ=2^29 depth-diet chain (``round29``)
+    # consumes 35 limbs/round instead of 63 (bit-exact on CPU) and is the
+    # designated next default once its TPU warmup compiles land.  NOTE:
+    # logQP at these settings exceeds the 128-bit-security bound for this
+    # N — acceptable for a performance benchmark; production parameters
+    # use N=2^16 with bootstrapping.
     n_level = 68 if scale_bits == 58 else 40
     ctx, enc = build(logn, n_level, scale_bits=scale_bits)
     if _os.environ.get("AES_FHE_MAT_KEYS", "1") != "0":
@@ -527,6 +526,11 @@ def main() -> None:
         result = bench_ntt(logn)
     elif mode == "round58":
         result = bench_round(logn, scale_bits=58)
+    elif mode == "round29":
+        # depth-diet chain: round consumes 35 limbs (vs 63); bit-exact on
+        # CPU, TPU warmup compiles still in progress as of round 2 — kept
+        # off the default until a complete verified TPU run exists.
+        result = bench_round(logn, scale_bits=29)
     else:
         result = bench_round(logn, inverse=(mode == "invround"))
     signal.alarm(0)
