@@ -61,6 +61,42 @@ __all__ = ["CkksContext"]
 _R = 1 << 32
 
 
+def _strkeys(obj):
+    """Bijectively rename int dict keys to '#i<k>' strings through nested
+    dict/list/tuple containers (jax.export serializes only string-keyed
+    dicts).  Zero-padded so lexicographic order == numeric order: jax sorts
+    dict keys when flattening, and a changed leaf order would change the
+    compiled HLO (invalidating the persistent compile cache) — with the
+    padding the flattened program is byte-identical to the int-keyed one.
+    Registered pytree nodes (Ciphertext, NamedTuples) pass through
+    untouched — their children are arrays, never dicts."""
+    if isinstance(obj, dict):
+        return {
+            (f"#i{k:08d}" if isinstance(k, int) else k): _strkeys(v)
+            for k, v in obj.items()
+        }
+    if isinstance(obj, tuple) and not hasattr(obj, "_fields"):
+        return tuple(_strkeys(v) for v in obj)
+    if isinstance(obj, list):
+        return [_strkeys(v) for v in obj]
+    return obj
+
+
+def _intkeys(obj):
+    """Inverse of _strkeys."""
+    if isinstance(obj, dict):
+        return {
+            (int(k[2:]) if isinstance(k, str) and k.startswith("#i") else k):
+            _intkeys(v)
+            for k, v in obj.items()
+        }
+    if isinstance(obj, tuple) and not hasattr(obj, "_fields"):
+        return tuple(_intkeys(v) for v in obj)
+    if isinstance(obj, list):
+        return [_intkeys(v) for v in obj]
+    return obj
+
+
 def _trace_state_clean() -> bool:
     """True when no jit trace is in progress (safe to create device arrays
     for host-side caches).  Falls back to False (= keep numpy) if the
@@ -94,7 +130,12 @@ class CkksContext:
         conjugation: bool = True,
         secret_hamming: int | None = None,
         ntt_impl: str = "auto",
+        keygen: bool = True,
     ):
+        """``keygen=False`` builds tables only; the caller must then call
+        ``install_keys`` with a persisted KeySet (utils/serialization.py)
+        before using any verb — the bench uses this to skip the ~45 s
+        device keygen on warm driver runs."""
         self.params = params
         self.secret_hamming = secret_hamming
         self.encoder = Encoder(params)
@@ -129,6 +170,12 @@ class CkksContext:
         assert ntt_impl in ("xla", "pallas"), ntt_impl
         self.ntt_impl = ntt_impl
         self._pl_interpret = backend != "tpu"
+        # Base-conversion matmul plane dtype follows the backend THIS
+        # context targets (resolved once here), not the process-global
+        # default at trace time (round-2 advisor finding).
+        self._conv_plane = (
+            jnp.bfloat16 if backend == "tpu" else jnp.float32
+        )
         self.ptables: PallasNttTables | None = (
             build_pallas_tables(self.tables, lanes=min(128, p.n // 16))
             if ntt_impl == "pallas"
@@ -185,11 +232,14 @@ class CkksContext:
         self._jroot = jax.random.PRNGKey(int(self._rng.integers(1 << 62)))
         self._jkey_counter = 0
         self._g_mont_np: np.ndarray | None = None
-        self.keys = self._keygen()
-        self.add_galois_keys(
-            [self.galois_element_for_rotation(r) for r in rotations]
-            + ([p.two_n - 1] if conjugation else [])
-        )
+        if keygen:
+            self.keys = self._keygen()
+            self.add_galois_keys(
+                [self.galois_element_for_rotation(r) for r in rotations]
+                + ([p.two_n - 1] if conjugation else [])
+            )
+        else:
+            self.keys = None  # install_keys must follow
 
         # --- profiling counters (reference kept bootstrap stats,
         #     engine_context.py:52-54) --------------------------------------
@@ -524,6 +574,15 @@ class CkksContext:
         neg_as = neg_mod(mont_mul(a, s_mont[None], q, qi), q)
         b = add_mod(add_mod(neg_as, e, q), gs, q)
         return mont_mul(b, r2, q, qi)  # [J, L+K, N]
+
+    def install_keys(self, keys: KeySet) -> None:
+        """Install a persisted KeySet (see utils/serialization.py) into a
+        context built with ``keygen=False`` — bit-identical to the context
+        that generated it (same params/seed).  Later ``add_galois_keys``
+        calls still work: they only need the secret, which the set carries."""
+        self.keys = keys
+        self._s_mont = keys.secret_mont
+        self._jnp_state = None
 
     def materialize_key_a(self, budget_bytes: int | None = None) -> int:
         """Precompute the Montgomery-form a-parts of the relin + Galois keys
@@ -946,14 +1005,12 @@ class CkksContext:
         d = l - 1
         assert d >= self.params.n_base, "rescale would eat the base modulus"
         qd = self.params.moduli[d]
-        if self._traced_mode:
+        if self._ntt_override is not None:
             out = self._rescale_impl(ct.data, d=d)
         else:
             if d not in self._rs_jit:
-                self._rs_jit[d] = jax.jit(
-                    functools.partial(self._rescale_impl, d=d)
-                )
-            out = self._rs_jit[d](ct.data)
+                self._rs_jit[d] = self._kernel_jit(self._rescale_impl, d=d)
+            out = self._rs_jit[d](self._kstate(), ct.data)
         return Ciphertext(data=out, scale=ct.scale / qd, ntt=True)
 
     def _rescale_impl(self, data: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -969,6 +1026,61 @@ class CkksContext:
         r_ntt = self._ntt(r, tuple(range(d)))
         return mont_mul(sub_mod(data[..., :d, :], r_ntt, q), invq, q, qi)
 
+    # -- nested kernel jits: tables threaded as ARGUMENTS -----------------
+    # The compound kernels (keyswitch, rescale, hoisted rotations) are
+    # jax.jit'd with the twiddle tables passed as pytree arguments, and are
+    # dispatched this way from BOTH the eager path and inside jit_fn traces.
+    # Inside an outer trace a nested pjit's jaxpr is traced ONCE per
+    # (signature) and cached — a big op program with ~45 keyswitches emits
+    # 45 calls to one shared sub-jaxpr instead of inlining ~45 copies of the
+    # body (round-2 finding: Python tracing of the inlined programs cost
+    # ~67 s per op program at N=2^15, the driver-bench killer).  Threading
+    # the tables as arguments (not closure state) is what makes the cached
+    # jaxpr safe: no captured tracers, no multi-MB constants in the HLO.
+    def _kstate(self):
+        """Transform tables as a pytree argument for nested kernel jits.
+        Live attributes while tracing (they are the outer trace's tracers);
+        the cached concrete device snapshot otherwise.
+
+        When a FOREIGN trace is active (a caller jitted ctx verbs directly,
+        without jit_fn — so _traced_mode is False but jnp.asarray would
+        return leakable tracers), pass the live numpy tables: they enter the
+        outer program as constants, exactly like the pre-nested-jit path."""
+        if self._traced_mode or (
+            self._jnp_state is None and not _trace_state_clean()
+        ):
+            return (
+                self.tables,
+                tuple(self.ptables[:7]) if self.ptables is not None else None,
+            )
+        st = self.traced_state()
+        return (st["tables"], st["ptables_arrays"])
+
+    def _swap_kstate(self, ks):
+        old = (self.tables, self.ptables, self._traced_mode)
+        self.tables = ks[0]
+        if ks[1] is not None:
+            self.ptables = PallasNttTables(
+                *ks[1], logn=self.ptables.logn, lanes=self.ptables.lanes
+            )
+        self._traced_mode = True
+        return old
+
+    def _restore_kstate(self, old):
+        self.tables, self.ptables, self._traced_mode = old
+
+    def _kernel_jit(self, impl, **static):
+        fn = functools.partial(impl, **static) if static else impl
+
+        def wrapped(ks, *args):
+            old = self._swap_kstate(ks)
+            try:
+                return fn(*args)
+            finally:
+                self._restore_kstate(old)
+
+        return jax.jit(wrapped)
+
     # -- key switching ---------------------------------------------------
     def _keyswitch(self, a: jnp.ndarray, ksk: jnp.ndarray, l: int):
         """Hybrid key switch of a single poly a [..., l, N] (NTT) with key
@@ -976,16 +1088,15 @@ class CkksContext:
 
         Jitted per limb count: the key switch is by far the most frequent
         compound kernel (every relinearize / rotate / conjugate), so it gets
-        its own compiled program instead of hundreds of eager dispatches.
+        its own compiled program instead of hundreds of eager dispatches —
+        and inside jit_fn programs it rides the nested-jit jaxpr cache.
         """
         self.stats["keyswitch"] += 1
-        if self._traced_mode:
+        if self._ntt_override is not None:
             return self._keyswitch_impl(a, ksk, l=l)
         if l not in self._ks_jit:
-            self._ks_jit[l] = jax.jit(
-                functools.partial(self._keyswitch_impl, l=l)
-            )
-        return self._ks_jit[l](a, ksk)
+            self._ks_jit[l] = self._kernel_jit(self._keyswitch_impl, l=l)
+        return self._ks_jit[l](self._kstate(), a, ksk)
 
     def _decompose_ext(self, a: jnp.ndarray, l: int) -> jnp.ndarray:
         """Gadget decomposition of poly ``a`` [..., l, N] (NTT): iNTT, split
@@ -1013,6 +1124,7 @@ class CkksContext:
                 base_convert(
                     a_coeff[..., g0 : g0 + m, :],
                     self._conv_group_skip(g0, m, l),
+                    self._conv_plane,
                 )
             )
             rows_cat.extend(self._skip_rows(g0, m, l))
@@ -1063,7 +1175,7 @@ class CkksContext:
         """Divide by P: x over Q_l*P [..., l+K, N] -> [..., l, N], NTT."""
         spec_rows = tuple(range(self.L, self.n_all))
         xs = self._intt(x[..., l:, :], spec_rows)
-        conv = base_convert(xs, self._conv_special(l))
+        conv = base_convert(xs, self._conv_special(l), self._conv_plane)
         conv = self._ntt(conv, tuple(range(l)))
         q, qi, _ = self._ql(l)
         pinv = jnp.asarray(self._pinv_mont[:l])[:, None]
@@ -1173,42 +1285,90 @@ class CkksContext:
             self._traced_mode,
         ) = old
 
+    def _export_cache(self):
+        """Process-wide jax.export program cache (utils/export_cache.py),
+        enabled by AES_FHE_EXPORT_CACHE_DIR.  Deserializing a cached program
+        skips Python tracing AND StableHLO lowering — ~100 s/program at the
+        bench config (DESIGN.md §13), the driver-budget killer."""
+        import os
+
+        d = os.environ.get("AES_FHE_EXPORT_CACHE_DIR", "")
+        if not d:
+            return None
+        cache = getattr(CkksContext, "_export_cache_obj", None)
+        if cache is None or str(cache.dir) != d:
+            from ..utils.export_cache import ExportCache
+
+            cache = ExportCache(d)
+            CkksContext._export_cache_obj = cache
+        return cache
+
+    def _fingerprint(self) -> str:
+        """Key material capturing everything that shapes a traced program
+        besides the argument signature."""
+        return repr(
+            (self.params, self.ntt_impl, self.secret_hamming,
+             self.ptables.lanes if self.ptables is not None else 0)
+        )
+
     def jit_fn(self, fn, fallback: bool = True):
         """jax.jit a function of Ciphertext/array pytrees that internally
         uses this context's verbs.  Keys and twiddle tables are threaded as
         arguments so the compiled program contains no huge constants; while
-        tracing, the per-kernel inner jits are bypassed (traced mode).
+        tracing, the per-kernel compound ops dispatch through nested jits
+        whose jaxprs cache across programs.
+
+        When AES_FHE_EXPORT_CACHE_DIR is set, each (program, signature)
+        round-trips through jax.export: exported+serialized on first use,
+        deserialized on later processes — skipping trace and lower.  The
+        int-keyed dicts this package uses (Galois keysets, power bases) are
+        bijectively renamed to string keys at the boundary — jax.export
+        serializes only string-keyed dicts.
 
         With ``fallback`` (default), a backend/compiler failure (the remote
         TPU compiler in this environment kills very large programs)
         permanently downgrades this wrapper to eager execution."""
 
-        def wrapped(st, *args, **kwargs):
+        def wrapped(targs, kwargs):
+            st, *args = _intkeys(targs)
+            kwargs = _intkeys(kwargs)
             old = self._swap_state(st)
             try:
-                return fn(*args, **kwargs)
+                return _strkeys(fn(*args, **kwargs))
             finally:
                 self._restore_state(old)
 
         jitted = jax.jit(wrapped)
         state = {"eager": False}
+        base = getattr(fn, "func", fn)  # unwrap functools.partial
+        tag = getattr(base, "__qualname__", getattr(base, "__name__", "fn"))
 
         def call(*args, **kwargs):
-            if not state["eager"]:
-                try:
-                    return jitted(self.traced_state(), *args, **kwargs)
-                except jax.errors.JaxRuntimeError as e:
-                    if not fallback:
-                        raise
-                    import sys
+            if state["eager"]:
+                return fn(*args, **kwargs)
+            targs = _strkeys((self.traced_state(), *args))
+            tkw = _strkeys(kwargs)
+            cache = self._export_cache()
+            runner = jitted
+            if cache is not None:
+                exp, _status = cache.get_or_build(
+                    tag, self._fingerprint(), jitted, (targs, tkw)
+                )
+                if exp is not None:
+                    runner = exp
+            try:
+                return _intkeys(runner(targs, tkw))
+            except jax.errors.JaxRuntimeError as e:
+                if not fallback:
+                    raise
+                import sys
 
-                    print(
-                        f"jit_fn: compiler rejected program for "
-                        f"{getattr(fn, '__qualname__', fn)}; eager fallback "
-                        f"({type(e).__name__})",
-                        file=sys.stderr,
-                    )
-                    state["eager"] = True
+                print(
+                    f"jit_fn: compiler rejected program for {tag}; eager "
+                    f"fallback ({type(e).__name__})",
+                    file=sys.stderr,
+                )
+                state["eager"] = True
             return fn(*args, **kwargs)
 
         return call
@@ -1237,17 +1397,15 @@ class CkksContext:
         ksks = [
             self.keys.galois[g] if g != 1 else self.keys.relin for g in gs
         ]  # placeholder for g==1 never used in inner product
-        if self._traced_mode:
+        if self._ntt_override is not None:
             datas = self._rotate_many_impl(ct.data, ksks, l=l, gs=tuple(gs))
         else:
             key = ("hoist", l, tuple(gs))
             if key not in self._ks_jit:
-                self._ks_jit[key] = jax.jit(
-                    functools.partial(
-                        self._rotate_many_impl, l=l, gs=tuple(gs)
-                    )
+                self._ks_jit[key] = self._kernel_jit(
+                    self._rotate_many_impl, l=l, gs=tuple(gs)
                 )
-            datas = self._ks_jit[key](ct.data, ksks)
+            datas = self._ks_jit[key](self._kstate(), ct.data, ksks)
         return [ct.with_data(d) for d in datas]
 
     def _rotate_many_impl(self, data, ksks, l: int, gs: tuple[int, ...]):
@@ -1292,15 +1450,15 @@ class CkksContext:
         ksks = [
             self.keys.galois[g] if g != 1 else self.keys.relin for g in gs
         ]
-        if self._traced_mode:
+        if self._ntt_override is not None:
             data = self._rma_impl(ct.data, pstack, ksks, l=l, gs=gs)
         else:
             key = ("rma", l, gs)
             if key not in self._ks_jit:
-                self._ks_jit[key] = jax.jit(
-                    functools.partial(self._rma_impl, l=l, gs=gs)
+                self._ks_jit[key] = self._kernel_jit(
+                    self._rma_impl, l=l, gs=gs
                 )
-            data = self._ks_jit[key](ct.data, pstack, ksks)
+            data = self._ks_jit[key](self._kstate(), ct.data, pstack, ksks)
         qd = self.params.moduli[l - 1]
         return Ciphertext(
             data=data, scale=ct.scale * s0 / qd, ntt=True

@@ -106,7 +106,9 @@ _MATMUL_MIN_M = 6
 _MATMUL_MAX_M = 64
 
 
-def _conv_matmul(y: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
+def _conv_matmul(
+    y: jnp.ndarray, t: ConvTables, plane_dtype=None
+) -> jnp.ndarray:
     """sum_i y[..., i, n] * g[i, t] mod c_t as MXU digit matmuls.
 
     Both operands split into 8-bit digit planes (exact in bf16); the 4x4
@@ -120,13 +122,19 @@ def _conv_matmul(y: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
     # bf16 planes feed the MXU on TPU; XLA:CPU's thunk runtime cannot
     # execute batched BF16xBF16=F32 dots (hit by the SPMD-partitioned
     # dryrun), so off-TPU the planes ride f32 — identical values (8-bit
-    # digits are exact in either type), identical results.
-    try:
-        plane_t = (
-            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-        )
-    except Exception:
-        plane_t = jnp.float32
+    # digits are exact in either type), identical results.  Callers that
+    # know their target backend (CkksContext resolves it once at
+    # construction) thread ``plane_dtype`` explicitly; the process-global
+    # default is only a fallback (it is wrong for e.g. a CPU-pinned jit in
+    # a TPU-default process — round-2 advisor finding).
+    plane_t = plane_dtype
+    if plane_t is None:
+        try:
+            plane_t = (
+                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+            )
+        except Exception:
+            plane_t = jnp.float32
     y_digits = [
         ((y >> (8 * k)) & 0xFF).astype(plane_t) for k in range(4)
     ]
@@ -150,7 +158,9 @@ def _conv_matmul(y: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
     return acc
 
 
-def base_convert(x: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
+def base_convert(
+    x: jnp.ndarray, t: ConvTables, plane_dtype=None
+) -> jnp.ndarray:
     """Fast base conversion, coefficient domain.
 
     x: u32 [..., m, N] residues for the source primes; returns [..., T, N]
@@ -164,7 +174,7 @@ def base_convert(x: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
         t.src_qinv[:, None],
     )  # [..., m, N] : [x_i * (B/b_i)^{-1}]_{b_i}
     if _MATMUL_MIN_M <= m <= _MATMUL_MAX_M:
-        return _conv_matmul(y, t)
+        return _conv_matmul(y, t, plane_dtype)
     tq = t.tgt_q[:, None]
     tqi = t.tgt_qinv[:, None]
     acc = None
@@ -176,7 +186,9 @@ def base_convert(x: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
     return acc
 
 
-def base_convert_centered(x: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
+def base_convert_centered(
+    x: jnp.ndarray, t: ConvTables, plane_dtype=None
+) -> jnp.ndarray:
     """Exact-overshoot base conversion with centering (BEHZ-style).
 
     The plain fast conversion returns x + alpha*B with alpha = floor(sum_i
@@ -193,7 +205,7 @@ def base_convert_centered(x: jnp.ndarray, t: ConvTables) -> jnp.ndarray:
     tq = t.tgt_q[:, None]
     tqi = t.tgt_qinv[:, None]
     if _MATMUL_MIN_M <= m <= _MATMUL_MAX_M:
-        acc = _conv_matmul(y, t)
+        acc = _conv_matmul(y, t, plane_dtype)
         af = jnp.sum(
             y.astype(jnp.float32)
             / np.asarray(t.src_q, np.float32)[:, None],

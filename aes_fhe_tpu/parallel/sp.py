@@ -244,8 +244,20 @@ class SpCkks:
     # ------------------------------------------------------------------
     def _with_local_ntt(self, fn, *args, **kwargs):
         """Run a CkksContext compound kernel with NTT dispatch rerouted to
-        the shard-local collective stages.  Must execute inside shard_map."""
+        the shard-local collective stages.  Must execute inside shard_map.
+
+        The reroute installs process-global state on the shared ctx, so the
+        ctx MUST NOT be used from elsewhere while this runs (another SpCkks
+        on a different mesh, or a single-device call issued from inside the
+        wrapped kernel would silently pick up the shard-local transforms —
+        round-2 advisor finding).  Nesting is detected and rejected here;
+        single-threaded tracing makes other interleavings impossible in
+        practice."""
         ctx = self.ctx
+        assert ctx._ntt_override is None, (
+            "SpCkks reroute already active on this ctx: concurrent/nested "
+            "sp use of one CkksContext is not supported"
+        )
         old = (ctx._ntt_override, ctx._traced_mode)
         ctx._ntt_override = (self._ntt_rows_local, self._intt_rows_local)
         ctx._traced_mode = True

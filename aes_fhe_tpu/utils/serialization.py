@@ -65,9 +65,13 @@ def load_ciphertext(path: str | Path) -> Ciphertext:
         )
 
 
-def save_keyset(path: str | Path, keys: KeySet) -> None:
+def save_keyset(path: str | Path, keys: KeySet, compress: bool = True) -> None:
     """Switching keys serialize seed-compressed: b-part + threefry key (the
-    uniform a-parts regenerate on device — half the bytes on disk too)."""
+    uniform a-parts regenerate on device — half the bytes on disk too).
+
+    ``compress=False`` skips deflate: key material is uniform-looking, so
+    compression wins nothing and costs tens of seconds at bench sizes — the
+    bench's warm-start key cache uses the raw variant."""
     arrays = {
         "secret_mont": np.asarray(keys.secret_mont),
         "secret_ntt": np.asarray(keys.secret_ntt),
@@ -78,7 +82,7 @@ def save_keyset(path: str | Path, keys: KeySet) -> None:
     for g, k in keys.galois.items():
         arrays[f"galois_{int(g)}_b"] = np.asarray(k.b_mont)
         arrays[f"galois_{int(g)}_seed"] = np.asarray(k.jkey)
-    np.savez_compressed(Path(path), **arrays)
+    (np.savez_compressed if compress else np.savez)(Path(path), **arrays)
 
 
 def load_keyset(path: str | Path) -> KeySet:

@@ -39,6 +39,13 @@ _CACHE = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# jax.export program cache: skips Python tracing + StableHLO lowering for
+# the big whole-op programs on cold processes (~100 s/program at N=2^15,
+# the round-2 driver-budget killer — DESIGN.md §13 lever #1).
+_os.environ.setdefault(
+    "AES_FHE_EXPORT_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_export_cache"),
+)
 
 
 def log(*a):
@@ -63,6 +70,8 @@ def note(**kw):
 
 
 def _emit_partial():
+    if _RESULT_EMITTED:
+        return
     log(f"WATCHDOG: budget hit in phase {PROGRESS.get('phase')!r}; "
         "emitting partial result")
     if PROGRESS.get("value") is None:
@@ -78,7 +87,12 @@ def _alarm(_sig, _frm):
     _emit_partial()
 
 
+_WATCHDOG_TIMER = None
+_RESULT_EMITTED = False
+
+
 def arm_watchdog():
+    global _WATCHDOG_TIMER
     budget = int(_os.environ.get("AES_FHE_BENCH_BUDGET", "480"))
     if budget > 0:
         signal.signal(signal.SIGALRM, _alarm)
@@ -93,6 +107,18 @@ def arm_watchdog():
         t = threading.Timer(budget + 5.0, _emit_partial)
         t.daemon = True
         t.start()
+        _WATCHDOG_TIMER = t
+
+
+def disarm_watchdog():
+    """Cancel BOTH watchdogs once the real result is ready (a surviving
+    daemon timer could otherwise fire while the final JSON prints and
+    os._exit mid-line — round-2 advisor finding)."""
+    global _RESULT_EMITTED
+    _RESULT_EMITTED = True
+    signal.alarm(0)
+    if _WATCHDOG_TIMER is not None:
+        _WATCHDOG_TIMER.cancel()
 
 
 def fetch_sync(*arrays):
@@ -124,19 +150,104 @@ def build(
         scale_bits=scale_bits,
     )
     stride = params.n_slots // 16
-    ctx = CkksContext(
-        params,
-        seed=7,
-        rotations=tuple(rotation_steps_required(stride)),
-        secret_hamming=secret_hamming,
+    rotations = tuple(rotation_steps_required(stride))
+
+    # Warm-start key cache: keygen cost the driver bench ~45-60 s of its
+    # 480 s budget (BENCH_r02).  Keys are deterministic in (params, seed,
+    # rotations, hamming), so persist the set once and install it on later
+    # runs (utils/serialization.py; seed-compressed, uncompressed npz).
+    kc_dir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".keycache")
+    kc_tag = (
+        f"l{logn}_p{n_level_primes}_s{scale_bits}"
+        f"_h{secret_hamming or 0}_r{hash(rotations) & 0xFFFFFFFF:08x}_seed7"
     )
+    kc_path = _os.path.join(kc_dir, kc_tag + ".npz")
+    use_kc = _os.environ.get("AES_FHE_KEY_CACHE", "1") != "0"
+    if use_kc and _os.path.exists(kc_path):
+        from aes_fhe_tpu.utils.serialization import load_keyset
+
+        ctx = CkksContext(
+            params,
+            seed=7,
+            rotations=rotations,
+            secret_hamming=secret_hamming,
+            keygen=False,
+        )
+        ctx.install_keys(load_keyset(kc_path))
+        log(f"keys: loaded cached set ({kc_tag})")
+    else:
+        ctx = CkksContext(
+            params,
+            seed=7,
+            rotations=rotations,
+            secret_hamming=secret_hamming,
+        )
+        if use_kc:
+            from aes_fhe_tpu.utils.serialization import save_keyset
+
+            _os.makedirs(kc_dir, exist_ok=True)
+
+            # Save ASYNCHRONOUSLY: fetching ~450 MB of key material back
+            # through the device tunnel took 153 s measured — overlapped
+            # with warmup compiles it costs nothing.  Write to a temp file
+            # and atomically rename so a killed run never leaves a partial
+            # cache.
+            def _save():
+                t_s = time.time()
+                tmp = kc_path + f".tmp{_os.getpid()}"
+                try:
+                    save_keyset(tmp, ctx.keys, compress=False)
+                    _os.replace(tmp + ".npz" if not tmp.endswith(".npz")
+                                else tmp, kc_path)
+                    log(f"keys: saved cache ({time.time()-t_s:.1f}s, "
+                        f"{kc_tag})")
+                except Exception as e:  # never let the saver kill the bench
+                    log(f"keys: cache save failed ({type(e).__name__}: {e})")
+
+            import threading
+
+            global _SAVE_THREAD
+            _SAVE_THREAD = threading.Thread(target=_save, daemon=True)
+            _SAVE_THREAD.start()
     enc = StateEncoder(ctx)
+    global _LAST_KC
+    _LAST_KC = kc_path if use_kc else None
     log(
         f"context+keygen: {time.time()-t0:.1f}s  (N=2^{logn}, "
         f"L={params.n_limbs}, K={params.n_special}, batch={enc.batch})"
     )
     note(phase="warmup", keygen_sec=round(time.time() - t0, 1))
     return ctx, enc
+
+
+_LAST_KC: str | None = None
+_SAVE_THREAD = None
+
+
+def resave_keys(ctx) -> None:
+    """Refresh the key cache after late key additions (the bootstrapper's
+    ~80 DFT Galois keys), so warm runs skip that keygen too."""
+    if _LAST_KC is None:
+        return
+    if _SAVE_THREAD is not None:
+        _SAVE_THREAD.join()  # don't let the base-set saver clobber ours
+    from aes_fhe_tpu.utils.serialization import save_keyset
+
+    n_now = len(ctx.keys.galois)
+    import numpy as _np
+
+    if _os.path.exists(_LAST_KC):
+        with _np.load(_LAST_KC, allow_pickle=False) as z:
+            n_saved = sum(1 for f in z.files if f.endswith("_b")) - 1
+    else:  # cold run: the async saver may still be fetching
+        n_saved = -1
+    if n_now > n_saved:
+        t0 = time.time()
+        tmp = _LAST_KC + f".tmp{_os.getpid()}r"
+        save_keyset(tmp, ctx.keys, compress=False)
+        _os.replace(tmp + ".npz", _LAST_KC)
+        log(f"keys: re-saved cache with {n_now} Galois keys "
+            f"({time.time()-t0:.1f}s)")
 
 
 def bench_ark(logn: int):
@@ -328,6 +439,7 @@ def bench_enc10(logn: int):
 
     want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
     pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit)
+    resave_keys(ctx)  # persist the bootstrap DFT keys for warm runs
     t0 = time.time()
     ct = pipe.encrypt_states(states, rks)
     fetch_sync(ct[0].data, ct[1].data)
@@ -419,18 +531,28 @@ def bench_ntt(logn: int, n_level: int = 68):
     ct = enc.encrypt(states)[0]
     l = ct.n_limbs
     rows = tuple(range(l))
-    f = jax.jit(lambda x: ctx._intt(ctx._ntt(x, rows), rows))
+    CHAIN = 8  # chained roundtrips inside ONE jit: fetch-forced timing has
+    # a ~28 ms dispatch+fetch RTT through the axon tunnel that would swamp a
+    # single millisecond-scale transform
+
+    def chain(x):
+        def body(x, _):
+            return ctx._intt(ctx._ntt(x, rows), rows), ()
+
+        return jax.lax.scan(body, x, None, length=CHAIN)[0]
+
+    f = jax.jit(chain)
     x = ct.data
     t0 = time.time()
     out = f(x)
-    jax.block_until_ready(out)
+    fetch_sync(out)  # block_until_ready returns EARLY on the axon tunnel
     log(f"warmup (compiles): {time.time()-t0:.1f}s")
     times = []
     for _ in range(10):
         t0 = time.time()
         out = f(x)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
+        fetch_sync(out)
+        times.append((time.time() - t0) / CHAIN)
     t_med = float(np.median(times)) / 2  # one transform (fwd+inv timed)
     ok = bool(np.array_equal(np.asarray(out), np.asarray(x)))
     log(f"ntt roundtrip exact: {ok}")
@@ -460,6 +582,7 @@ def bench_roundtrip(logn: int):
 
     want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
     pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit)
+    resave_keys(ctx)  # persist the bootstrap DFT keys for warm runs
     t0 = time.time()
     ct = pipe.encrypt_states(states, rks)
     fetch_sync(ct[0].data, ct[1].data)
@@ -533,7 +656,7 @@ def main() -> None:
         result = bench_round(logn, scale_bits=29)
     else:
         result = bench_round(logn, inverse=(mode == "invround"))
-    signal.alarm(0)
+    disarm_watchdog()
     result["total_sec"] = round(time.time() - _T_START, 1)
     print(json.dumps(result))
 

@@ -78,10 +78,14 @@ slow = pytest.mark.skipif(
 )
 
 
+@pytest.mark.slow
+@slow
 def test_gf_mults_jit_matches_eager(pipe, rng):
     """The batched-jitted GF-mult path (MixColumns' hot piece) must match
     the eager evaluation bit-for-bit.  Uses only the gf x2/x3 LUTs — a
-    single compile of the smallest whole-op program."""
+    single compile of the smallest whole-op program.  Slow-gated: the
+    whole-op compile alone runs minutes on XLA:CPU (round-2 verdict: this
+    un-gated test made the default suite impractical)."""
     from aes_fhe_tpu.aes.ops import Xor4, MixColumns
 
     ctx = pipe.ctx

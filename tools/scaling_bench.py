@@ -35,7 +35,10 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/aes_fhe_tpu_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from aes_fhe_tpu.utils.cache_dirs import cpu_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -48,12 +51,54 @@ from aes_fhe_tpu.aes.ops import Xor4, rotation_steps_required  # noqa: E402
 from aes_fhe_tpu.parallel.mesh import make_mesh  # noqa: E402
 
 
-def count_collectives(lowered) -> int:
-    txt = lowered.as_text()
-    return sum(
-        txt.count(op)
-        for op in ("all-reduce", "all-gather", "all-to-all", "collective-permute")
+_COLL_RE = None
+
+
+def count_collectives(compiled) -> int:
+    """Count collective ops in the POST-SPMD-partitioner optimized HLO.
+
+    Round-2 advisor finding: grepping the pre-partitioning lowered StableHLO
+    always counted 0 (GSPMD inserts collectives during compile, and the
+    hyphenated HLO spellings never appear in StableHLO).  So: take
+    ``jit.lower(...).compile().as_text()`` and match instruction DEFINITIONS
+    (opcode followed by '(') in both hyphenated HLO and underscored StableHLO
+    spellings."""
+    global _COLL_RE
+    import re
+
+    if _COLL_RE is None:
+        ops = [
+            "all-reduce", "all-gather", "all-to-all", "collective-permute",
+            "reduce-scatter", "all-reduce-start", "collective-permute-start",
+            "stablehlo.all_reduce", "stablehlo.all_gather",
+            "stablehlo.all_to_all", "stablehlo.collective_permute",
+            "stablehlo.reduce_scatter",
+        ]
+        _COLL_RE = re.compile(
+            r"\b(" + "|".join(re.escape(o) for o in ops) + r")\("
+        )
+    txt = compiled.as_text()
+    return len(_COLL_RE.findall(txt))
+
+
+def positive_control(ctx, enc, rng) -> int:
+    """Prove the counter can detect collectives: a relinearization with the
+    RNS-limb axis sharded over tp MUST insert cross-device traffic (the
+    gadget decomposition's base conversion contracts over limbs).  Returns
+    the collective count; the harness asserts it is > 0."""
+    mesh = make_mesh(n_devices=8, tp=8)
+    states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
+    ct = enc.encrypt(states)[0]
+    l = (ct.n_limbs // 8) * 8  # limb axis must divide the tp mesh
+    a = ct.data[1][:l]
+    # limb axis sharded over tp; the keyswitch contracts over it
+    shard = NamedSharding(mesh, P("tp", None))
+    a_sh = jax.device_put(a, shard)
+    step = jax.jit(
+        lambda x: ctx._keyswitch_impl(x, ctx.keys.relin, l),
+        in_shardings=(shard,),
     )
+    return count_collectives(step.lower(a_sh).compile())
 
 
 def main() -> None:
@@ -96,8 +141,7 @@ def main() -> None:
         step = jax.jit(
             jax.vmap(one), in_shardings=(shard,) * 4
         )
-        lowered = step.lower(*args)
-        ncoll = count_collectives(lowered)
+        ncoll = count_collectives(step.lower(*args).compile())
         out = step(*args)
         jax.block_until_ready(out)  # CPU backend: ready means done
         times = []
@@ -115,7 +159,15 @@ def main() -> None:
     t1 = results[0]["sec"]
     for r in results:
         r["weak_scaling_eff"] = round(t1 / r["sec"], 3)
-    print(json.dumps({"table": results}))
+
+    # positive control: the counter must DETECT collectives when they exist
+    # (tp-sharded keyswitch contracts over the limb axis)
+    n_tp = positive_control(ctx, enc, rng)
+    assert n_tp > 0, (
+        "positive control failed: tp-sharded keyswitch shows no collectives "
+        "- the counter is broken"
+    )
+    print(json.dumps({"table": results, "tp_keyswitch_collectives": n_tp}))
 
 
 if __name__ == "__main__":
