@@ -101,12 +101,18 @@ def build_power_basis(
     ct: Ciphertext,
     targets: set[int],
     mirror: int | None = None,
+    drop: int | None = None,
 ) -> dict[int, Ciphertext]:
     """Powers ct^k for k in targets (2-poly, relinearized).
 
     With ``mirror=m`` (input on the order-m codebook, |ct| = 1), powers
     k > m/2 are realized as conj(ct^{m-k}) — one Galois key switch instead of
     a deeper multiplication chain (reference: xor4_lut.py:53-59).
+
+    ``drop`` overrides the per-multiply rescale count (default: the chain's
+    rescale_drop) — the bootstrap's double-scale interior passes 2 on
+    single-prime chains so basis scales stay pinned near its working scale
+    instead of ballooning as scale^2/q per level.
     """
     true_targets: set[int] = set()
     conj_from: dict[int, int] = {}
@@ -120,7 +126,7 @@ def build_power_basis(
             true_targets.add(k)
     basis: dict[int, Ciphertext] = {1: ct}
     for k, a, b in power_schedule(true_targets):
-        basis[k] = ctx.multiply(basis[a], basis[b])
+        basis[k] = ctx.multiply(basis[a], basis[b], drop=drop)
     for k, src in conj_from.items():
         basis[k] = ctx.conjugate(basis[src])
     return basis

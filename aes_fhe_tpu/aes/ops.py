@@ -185,14 +185,22 @@ class SubBytes:
         self, ct_hi: Ciphertext, ct_lo: Ciphertext
     ) -> dict[int, Ciphertext]:
         ctx = self.ctx
-        # 1) lift: univariate scalar sum (P=1 row in the generic evaluator)
-        lb = build_power_basis(ctx, ct_lo, self.lift_need, mirror=16)
-        lifted = eval_lut_2d(ctx, self.lift, [None], _basis_list(lb, 16))
-        # 2) recombine to the byte codeword zeta256^b
-        ct_b = ctx.multiply(ct_hi, lifted)
+        ws, wdrop = ctx.ladder()
+        # 1) lift: univariate scalar sum (P=1 row in the generic evaluator).
+        # On depth-diet chains the lift ladder runs at the elevated tier
+        # too: its output error feeds ct_b and the byte ladder amplifies
+        # ct_b error ~x128 through the giants.
+        lo = ct_lo if ct_lo.scale == ws else ctx.to_scale(ct_lo, ws)
+        lb = build_power_basis(ctx, lo, self.lift_need, mirror=16, drop=wdrop)
+        lifted = eval_lut_2d(
+            ctx, self.lift, [None], _basis_list(lb, 16), delta_out=ws
+        )
+        # 2) recombine to the byte codeword zeta256^b (at the ladder tier)
+        hi = ct_hi if ct_hi.scale == ws else ctx.to_scale(ct_hi, ws)
+        ct_b = ctx.multiply(hi, lifted, drop=wdrop)
         # 3) shared babies + giants
         targets = set(range(2, 16)) | {16 * j for j in range(1, 9)}
-        return build_power_basis(ctx, ct_b, targets)
+        return build_power_basis(ctx, ct_b, targets, drop=wdrop)
 
     def _accumulate(self, basis: dict[int, Ciphertext]) -> CtPair:
         ctx = self.ctx
@@ -449,8 +457,14 @@ class Snap:
 
     def _one_impl(self, ct: Ciphertext) -> Ciphertext:
         ctx = self.ctx
-        basis = build_power_basis(ctx, ct, {16})
-        x17 = ctx.multiply(basis[16], ct)
+        # the x^16 squaring chain runs at the elevated ladder tier on
+        # depth-diet chains (ctx.ladder) — at the bare chain scale its own
+        # relin noise (~2^-19 relative, doubling per squaring) would defeat
+        # the quadratic contraction the snap exists to provide
+        ws, wdrop = ctx.ladder()
+        w = ct if ct.scale == ws else ctx.to_scale(ct, ws)
+        basis = build_power_basis(ctx, w, {16}, drop=wdrop)
+        x17 = ctx.multiply(basis[16], w, drop=wdrop)
         coeffs = np.zeros((1, 18), np.complex128)
         coeffs[0, 1] = 17.0 / 16.0
         coeffs[0, 17] = -1.0 / 16.0

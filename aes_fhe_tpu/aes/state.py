@@ -65,7 +65,26 @@ class StateEncoder:
         self, states: np.ndarray, limbs: int | None = None
     ) -> tuple[Ciphertext, Ciphertext]:
         hi, lo = self.pack_slots(states)
-        return self.ctx.encrypt(hi, limbs=limbs), self.ctx.encrypt(lo, limbs=limbs)
+        ctx = self.ctx
+        p = ctx.params
+        if p.scale < (1 << 40):
+            # Depth-diet chains: fresh-encryption noise relative to a bare
+            # Δ=2^29 is ~2^-12.6 at N=2^15 (e ~ sigma*sqrt(N*h)), and the
+            # degree-255 S-box ladder amplifies it ~x(deg) — measured on
+            # the chip: 2706/16384 bytes wrong with |z| up to 12 ~
+            # (1+eps)^128.  Standard fix: encrypt ONE level up at scale
+            # Delta*q_top and rescale once — the absolute noise divides by
+            # q_top and the relative floor drops to ~2^-29 for the cost of
+            # a single limb.
+            from fractions import Fraction
+
+            l = p.n_limbs if limbs is None else limbs
+            s = Fraction(p.scale) * p.moduli[l - 1]
+            return (
+                ctx.rescale(ctx.encrypt(hi, limbs=l, scale=s), 1),
+                ctx.rescale(ctx.encrypt(lo, limbs=l, scale=s), 1),
+            )
+        return ctx.encrypt(hi, limbs=limbs), ctx.encrypt(lo, limbs=limbs)
 
     def decrypt(
         self, ct_hi: Ciphertext, ct_lo: Ciphertext, n_blocks: int = 1

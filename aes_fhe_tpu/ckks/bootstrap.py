@@ -85,6 +85,22 @@ class Bootstrapper:
         self.r = math.ceil(math.log2(2 * math.pi * (K / 2 + 1) / theta_max))
         self.taylor_deg = taylor_deg
         self.boot_scale = Fraction(1 << boot_scale_bits)
+        # Work scale for the bootstrap INTERIOR (ModRaise boost, C2S target,
+        # EvalMod, repack).  On single-prime depth-diet chains (Δ=2^29) the
+        # interior previously ran at the chain scale: every rescale then
+        # quantizes at 2^-29 relative and the ModRaise boost collapses to 1,
+        # landing the refresh error at 2.5e-2 (measured, logn=8) — fatal for
+        # the degree-255 S-box even after snapping.  Running the interior at
+        # Δ² = 2^58 (scales are exact Fractions; one "rescale" simply drops
+        # TWO primes, self.mul_drop) restores the deep chain's per-op
+        # precision while the AES layer outside keeps the depth diet.
+        p_scale = Fraction(p.scale)
+        if p.scale >= (1 << 40):
+            self.work_scale = p_scale
+            self.mul_drop = p.rescale_drop
+        else:
+            self.work_scale = p_scale * p_scale
+            self.mul_drop = 2 * p.rescale_drop
 
         fwd = merge_stage_ops(s2c_stage_ops(p.n), group)
         inv = merge_stage_ops(c2s_stage_ops(p.n), group)
@@ -116,14 +132,16 @@ class Bootstrapper:
         p = ctx.params
         ct = ctx.drop_limbs(ct, ct.n_limbs - 1)
         coeff = ctx._intt(ct.data, (0,))
-        ext = base_convert_centered(coeff, self._mr_conv)  # [2, L, N]
+        ext = base_convert_centered(
+            coeff, self._mr_conv, ctx._conv_plane
+        )  # [2, L, N]
         data = ctx._ntt(ext, tuple(range(p.n_limbs)))
         raised = Ciphertext(data=data, scale=Fraction(self._q0), ntt=True)
-        # Boost by an exact integer constant to ~the working scale: at the
-        # raw scale q0 ~ 2^30 the engine noise floor (~2^10) would sit at
-        # 2^-20 of t and get amplified by q0/Delta_b into the message.  An
-        # integer scalar multiply is exact and costs no level.
-        boost = max(1, round(p.scale / self._q0))
+        # Boost by an exact integer constant to ~the interior work scale: at
+        # the raw scale q0 ~ 2^30 the engine noise floor (~2^10) would sit
+        # at 2^-20 of t and get amplified by q0/Delta_b into the message.
+        # An integer scalar multiply is exact and costs no level.
+        boost = max(1, round(self.work_scale / self._q0))
         return ctx.mul_scalar(raised, 1.0, Fraction(boost))
 
     def eval_frac(self, t_ct: Ciphertext) -> Ciphertext:
@@ -133,16 +151,19 @@ class Bootstrapper:
 
         ctx = self.ctx
         c = 2j * math.pi / (1 << self.r)
-        # encode the phase constant so w lands at exactly the working scale
-        # (any excess would amplify through the Taylor power basis)
+        # encode the phase constant so w lands at exactly the interior work
+        # scale (any excess would amplify through the Taylor power basis);
+        # nd = mul_drop keeps the scalar's own encoding scale ~work_scale,
+        # i.e. the constant carries ~2^-51 relative error, not 2^-23 —
+        # phase-constant error doubles through every squaring below.
         l = t_ct.n_limbs
         p = ctx.params
-        nd = p.rescale_drop
+        nd = self.mul_drop
         drops = math.prod(p.moduli[l - 1 - i] for i in range(nd))
-        s_c = Fraction(p.scale) * drops / t_ct.scale
+        s_c = self.work_scale * drops / t_ct.scale
         w = ctx.rescale(ctx.mul_scalar(t_ct, c, s_c), nd)
         basis = build_power_basis(
-            ctx, w, set(range(2, self.taylor_deg + 1))
+            ctx, w, set(range(2, self.taylor_deg + 1)), drop=self.mul_drop
         )
         coeffs = np.zeros((1, self.taylor_deg + 1), np.complex128)
         fact = 1.0
@@ -151,17 +172,20 @@ class Bootstrapper:
             fact *= k + 1
         by = [None] + [basis.get(k) for k in range(1, self.taylor_deg + 1)]
         z = eval_lut_2d(
-            ctx, coeffs, [None], by, min_coeff_scale_bits=36
+            ctx, coeffs, [None], by, delta_out=self.work_scale,
+            min_coeff_scale_bits=36,
         )
         for _ in range(self.r):
-            z = ctx.multiply(z, z)
+            z = ctx.multiply(z, z, drop=self.mul_drop)
 
         # arcsin correction: x ~ s + (2pi)^2/6 * s^3, s = (z - zbar)/(4*pi*i),
         # s^3 = ((z^3 - zbar^3) - 3(z - zbar)) / (4*pi*i)^3
         #  => x ~ a*(z - zbar) + b*(z^3 - zbar^3),
         #     a = -9i/(32*pi),  b = +i/(96*pi)
         # (verified numerically: residual ~1e-9 on the working range)
-        z3 = ctx.multiply(ctx.multiply(z, z), z)
+        z3 = ctx.multiply(
+            ctx.multiply(z, z, drop=self.mul_drop), z, drop=self.mul_drop
+        )
         d1 = ctx.sub(z, ctx.conjugate(z))
         d3 = ctx.sub(z3, ctx.conjugate(z3))
         l = min(d1.n_limbs, d3.n_limbs)
@@ -182,7 +206,7 @@ class Bootstrapper:
         orig_scale = ct.scale  # ~Delta_b (exact tracked value)
 
         raised = self.mod_raise(ct)
-        z = ctx.to_scale(self.c2s(raised), Fraction(ctx.params.scale))
+        z = ctx.to_scale(self.c2s(raised), self.work_scale)
 
         # conjugation split: z = t0 - i*t1 with t0, t1 real
         zc = ctx.conjugate(z)

@@ -801,6 +801,24 @@ class CkksContext:
         a_res, b_res = self._const_res_np(c, scale, limbs)
         return jnp.asarray(a_res), jnp.asarray(b_res)
 
+    def ladder(self) -> tuple[Fraction, int]:
+        """(scale, per-multiply rescale drop) for precision-critical power
+        ladders (the degree-255 BSGS S-box, the snap's x^16 chain, the
+        bootstrap interior).
+
+        On depth-diet chains (Δ=2^29) the ladder noise floor at the chain
+        scale — keyswitch noise ~2^-19 relative, doubled per squaring,
+        amplified by the polynomial derivative in the accumulation — decodes
+        wrong at N=2^15 (measured on the chip: 16% of S-box bytes).  Running
+        ladders at Δ² = 2^58 (a rescale drops TWO primes) restores the deep
+        chain's floor; scales are exact Fractions so the boost into the
+        elevated tier is one exact integer multiply, and eval_lut_2d's
+        exact scale targeting lands the result back at Δ."""
+        p = self.params
+        if p.scale >= (1 << 40):
+            return Fraction(p.scale), p.rescale_drop
+        return Fraction(p.scale) * Fraction(p.scale), 2 * p.rescale_drop
+
     # ------------------------------------------------------------------
     # pure device verbs (jit-composable)
     # ------------------------------------------------------------------

@@ -304,7 +304,7 @@ def bench_round(logn: int, inverse: bool = False, scale_bits: int = 58):
     # logQP at these settings exceeds the 128-bit-security bound for this
     # N — acceptable for a performance benchmark; production parameters
     # use N=2^16 with bootstrapping.
-    n_level = 68 if scale_bits == 58 else 40
+    n_level = 68 if scale_bits == 58 else 52
     ctx, enc = build(logn, n_level, scale_bits=scale_bits)
     if _os.environ.get("AES_FHE_MAT_KEYS", "1") != "0":
         t0 = time.time()
@@ -415,7 +415,7 @@ def bench_round(logn: int, inverse: bool = False, scale_bits: int = 58):
     }
 
 
-def bench_enc10(logn: int):
+def bench_enc10(logn: int, scale_bits: int = 58):
     """Complete 10-round homomorphic AES-128 encryption under the BOOTSTRAP
     snap policy — the capability the reference simulated with secret-key
     hard renorm (SURVEY.md Q4).  3 stacked hi/lo bootstraps per round."""
@@ -423,15 +423,18 @@ def bench_enc10(logn: int):
     from aes_fhe_tpu.aes import reference as R
 
     # bootstrap budget: at logn=15 each DFT direction has 5 merged stages
-    # (vs 2-3 at unit-test ring sizes), so the refresh must start from 96
-    # level primes to land ~48 limbs — snap (~12) + deepest op (SubBytes,
-    # 26) then fit between stabilizes.  Sparse secret keeps EvalMod's
-    # range small.  Stays on the Δ=2^58 chain: on the Δ=2^29 depth-diet
-    # chain the refresh error is ~1.5e-2 even with the adaptive
-    # Delta_b = 2^26 (ckks/bootstrap.py) and the 2-round bootstrap-policy
-    # pipeline loses bit-exactness (measured on CPU, logn=8) — closing
-    # that last ~4 bits of refresh precision is the round-3 lever.
-    ctx, enc = build(logn, 96, secret_hamming=192)
+    # (vs 2-3 at unit-test ring sizes), so the refresh must start from
+    # enough level primes to land snap (~12) + deepest op (SubBytes) after
+    # the interior's consumption.  Sparse secret keeps EvalMod's range
+    # small.  On the Δ=2^29 depth-diet chain (``enc1029``) the bootstrap
+    # interior runs at Δ²=2^58 (round-3 fix, DESIGN.md §14: interior
+    # consumption is the same BITS as the deep chain, the AES rounds
+    # outside run at 35 limbs instead of 63); 80 single-width primes cover
+    # interior (~50) + snap + SubBytes.
+    n_level = 96 if scale_bits == 58 else 80
+    ctx, enc = build(
+        logn, n_level, secret_hamming=192, scale_bits=scale_bits
+    )
     rng = np.random.default_rng(0)
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
     key = np.arange(16, dtype=np.uint8)
@@ -566,6 +569,72 @@ def bench_ntt(logn: int, n_level: int = 68):
     }
 
 
+def bench_ntt_mxu(logn: int, n_level: int = 68):
+    """Four-step MXU NTT vs the fused Pallas butterfly NTT, same limb
+    stack, fetch-forced timing — the measured comparison the round-2
+    verdict asked for before landing or retiring core/ntt_mxu.py."""
+    from aes_fhe_tpu.core.ntt_mxu import (
+        build_mxu_tables, ntt_mxu, intt_mxu,
+    )
+
+    ctx, enc = build(logn, n_level)
+    rng = np.random.default_rng(0)
+    states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
+    ct = enc.encrypt(states)[0]
+    l = ct.n_limbs
+    rows = tuple(range(l))
+    x = ct.data
+    CHAIN = 8
+
+    def timed(tag, fwd, inv):
+        def chain(x):
+            def body(x, _):
+                return inv(fwd(x)), ()
+
+            return jax.lax.scan(body, x, None, length=CHAIN)[0]
+
+        f = jax.jit(chain)
+        t0 = time.time()
+        out = f(x)
+        fetch_sync(out)
+        log(f"[{tag}] warmup (compiles): {time.time()-t0:.1f}s")
+        times = []
+        for _ in range(10):
+            t0 = time.time()
+            out = f(x)
+            fetch_sync(out)
+            times.append((time.time() - t0) / CHAIN / 2)
+        t_med = float(np.median(times))
+        ok = bool(np.array_equal(np.asarray(out), np.asarray(x)))
+        log(f"[{tag}] per-transform: {t_med*1e3:.3f} ms  roundtrip exact: {ok}")
+        return t_med, ok
+
+    t_pl, ok_pl = timed(
+        "pallas",
+        lambda v: ctx._ntt(v, rows),
+        lambda v: ctx._intt(v, rows),
+    )
+    mt = build_mxu_tables(
+        tuple(ctx.params.all_primes[i] for i in rows), ctx.params.logn
+    )
+    t_mx, ok_mx = timed(
+        "mxu4step",
+        lambda v: ntt_mxu(v, mt),
+        lambda v: intt_mxu(v, mt),
+    )
+    return {
+        "metric": "ntt_sec",
+        "value": min(t_pl, t_mx),
+        "unit": "s",
+        "vs_baseline": 0.0025 / min(t_pl, t_mx),
+        "pallas_sec": t_pl,
+        "mxu_sec": t_mx,
+        "mxu_vs_pallas": t_pl / t_mx,
+        "rows": 2 * l,
+        "correct": bool(ok_pl and ok_mx),
+    }
+
+
 def bench_roundtrip(logn: int):
     """COMPLETE homomorphic AES-128: 10-round encrypt + 10-round decrypt
     (correct inverse order, fixing reference quirk Q1) + exact roundtrip —
@@ -629,9 +698,11 @@ def main() -> None:
     metric_by_mode = {
         "ark": "aes128_addroundkey_sec",
         "enc10": "aes128_encrypt10_sec",
+        "enc1029": "aes128_encrypt10_sec",
         "roundtrip": "aes128_roundtrip_sec",
         "ks": "keyswitch_sec",
         "ntt": "ntt_sec",
+        "ntt_mxu": "ntt_sec",
         "invround": "aes128_inv_round_sec",
     }
     note(phase="context+keygen",
@@ -641,12 +712,17 @@ def main() -> None:
         result = bench_ark(logn)
     elif mode == "enc10":
         result = bench_enc10(logn)
+    elif mode == "enc1029":
+        # depth-diet chain with the double-scale bootstrap interior
+        result = bench_enc10(logn, scale_bits=29)
     elif mode == "roundtrip":
         result = bench_roundtrip(logn)
     elif mode == "ks":
         result = bench_ks(logn)
     elif mode == "ntt":
         result = bench_ntt(logn)
+    elif mode == "ntt_mxu":
+        result = bench_ntt_mxu(logn)
     elif mode == "round58":
         result = bench_round(logn, scale_bits=58)
     elif mode == "round29":

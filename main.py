@@ -52,18 +52,20 @@ def main() -> None:
 
     import jax
 
-    from aes_fhe_tpu.utils.cache_dirs import cpu_cache_dir
+    from aes_fhe_tpu.utils.cache_dirs import configure_cpu_cache
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-        # CPU caches are host-fingerprinted (stale cross-machine AOT
-        # executables segfault); the TPU cache is portable.
-        jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
+        # CPU persistent caching segfaults on some hosts; off by default
+        # (utils/cache_dirs.py).
+        configure_cpu_cache(jax.config)
     else:
         jax.config.update(
             "jax_compilation_cache_dir", "/tmp/aes_fhe_tpu_jax_cache"
         )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.0
+        )
 
     from aes_fhe_tpu.params import make_params
     from aes_fhe_tpu.ckks import CkksContext

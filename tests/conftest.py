@@ -23,18 +23,18 @@ import pytest
 
 import jax
 
-from aes_fhe_tpu.utils.cache_dirs import cpu_cache_dir
+from aes_fhe_tpu.utils.cache_dirs import configure_cpu_cache
 
 # The axon TPU plugin in this image force-registers itself ahead of the env
 # var; an explicit config update is the only reliable way to pin tests to the
 # virtual CPU mesh (and to local, fast XLA compiles).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-# Persist compiled executables across test runs (compiles dominate runtime on
-# this stack).  CPU caches are host-fingerprinted: stale AOT executables
-# from a different machine SIGSEGV (utils/cache_dirs.py).
-jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# Persistent CPU compile caching is DISABLED by default: on some hosts
+# XLA:CPU executable (de)serialization SIGSEGVs and killed the suite
+# mid-run (utils/cache_dirs.py has the full story).  AES_FHE_CPU_CACHE=1
+# opts back in on machines where it is known-good.
+configure_cpu_cache(jax.config)
 
 
 @pytest.fixture(scope="session")

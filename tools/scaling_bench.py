@@ -36,9 +36,9 @@ import jax.numpy as jnp
 
 jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from aes_fhe_tpu.utils.cache_dirs import cpu_cache_dir  # noqa: E402
+from aes_fhe_tpu.utils.cache_dirs import configure_cpu_cache  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
+configure_cpu_cache(jax.config)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
