@@ -131,13 +131,23 @@ class CkksContext:
         secret_hamming: int | None = None,
         ntt_impl: str = "auto",
         keygen: bool = True,
+        ladder_elevate: bool = True,
     ):
         """``keygen=False`` builds tables only; the caller must then call
         ``install_keys`` with a persisted KeySet (utils/serialization.py)
         before using any verb — the bench uses this to skip the ~45 s
-        device keygen on warm driver runs."""
+        device keygen on warm driver runs.
+
+        ``ladder_elevate=False`` disables the automatic Δ² elevated tier
+        for power ladders on thin (Δ<2^40) chains (``ladder()``).  The
+        elevation is a *precision* requirement at production ring sizes
+        (DESIGN.md §15); at unit-test/dryrun sizes (logn≤8) the bare chain
+        already decodes bit-exact and the elevation costs ~6 extra limbs
+        per round — the multichip dryrun opts out to keep the XLA:CPU
+        SPMD programs small."""
         self.params = params
         self.secret_hamming = secret_hamming
+        self.ladder_elevate = ladder_elevate
         self.encoder = Encoder(params)
         p = params
         self.n_all = len(p.all_primes)
@@ -815,7 +825,7 @@ class CkksContext:
         elevated tier is one exact integer multiply, and eval_lut_2d's
         exact scale targeting lands the result back at Δ."""
         p = self.params
-        if p.scale >= (1 << 40):
+        if p.scale >= (1 << 40) or not self.ladder_elevate:
             return Fraction(p.scale), p.rescale_drop
         return Fraction(p.scale) * Fraction(p.scale), 2 * p.rescale_drop
 

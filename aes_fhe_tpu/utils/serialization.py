@@ -79,7 +79,12 @@ def save_keyset(path: str | Path, keys: KeySet, compress: bool = True) -> None:
         "relin_b": np.asarray(keys.relin.b_mont),
         "relin_seed": np.asarray(keys.relin.jkey),
     }
-    for g, k in keys.galois.items():
+    # Snapshot the dict first: the bench's ASYNC saver thread iterates it
+    # while the bootstrapper may be adding its ~80 DFT Galois keys on the
+    # main thread ("dictionary changed size during iteration", observed on
+    # a cold enc10 run).  Individual SwitchingKeys are immutable, so a
+    # shallow copy is a consistent view.
+    for g, k in list(keys.galois.items()):
         arrays[f"galois_{int(g)}_b"] = np.asarray(k.b_mont)
         arrays[f"galois_{int(g)}_seed"] = np.asarray(k.jkey)
     (np.savez_compressed if compress else np.savez)(Path(path), **arrays)

@@ -68,6 +68,28 @@ def test_sp_keyswitch_relin_bit_exact(sp_setup, rng):
 
 
 @pytest.mark.slow
+def test_sp_keyswitch_bench_limb_count(rng):
+    """Relinearize with the coefficient axis sharded 8 ways at the BENCH
+    chain's limb count (68 level primes -> l=71 Q rows + 24 special rows,
+    the exact keyswitch shape `bench.py round` runs at N=2^15) — round-2
+    verdict item: the sp keyswitch had only ever run at l=9."""
+    params = make_params(logn=8, n_level_primes=68, dnum=3)
+    ctx = CkksContext(params, seed=3, rotations=(), conjugation=False,
+                      ntt_impl="xla")
+    ctx.materialize_key_a()
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("sp",))
+    sp = SpCkks(ctx, mesh)
+    vals = rng.standard_normal(ctx.params.n_slots) * 0.3
+    ct = ctx.encrypt(vals)
+    t = ctx.tensor(ct, ct)
+    assert t.n_limbs >= 69  # really the bench-scale chain
+    ref = ctx.relinearize(t)
+    got = sp.relinearize(t.with_data(sp.shard(t.data)))
+    assert np.array_equal(np.asarray(got.data), np.asarray(ref.data))
+    assert got.scale == ref.scale
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("delta", [1, -1, 16, -48])
 def test_sp_rotate_bit_exact(sp_setup, rng, delta):
     ctx, sp = sp_setup

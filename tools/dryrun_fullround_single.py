@@ -45,7 +45,14 @@ def main() -> None:
     mesh = make_mesh(n_devices=n_devices, tp=tp)
     dp = n_devices // tp
 
-    ctx, enc = _build(logn=logn, n_level_primes=37, scale_bits=29, dnum=2)
+    # 38 level primes + 3 base, minus the one prime fresh encryption on
+    # thin chains drops immediately (encrypt-high + rescale) = 40 limbs,
+    # divisible by tp=2.  ladder_elevate=False: the Δ² S-box tier is a
+    # production-ring-size precision requirement, not needed at logn≤8.
+    ctx, enc = _build(
+        logn=logn, n_level_primes=38, scale_bits=29, dnum=2,
+        ladder_elevate=False,
+    )
     pipe = AES128(ctx, policy=SnapPolicy.NONE)
     rks = R.expand_aes128_key(np.arange(16, dtype=np.uint8))
     rk1 = pipe.prepare_round_keys(rks)[1]
