@@ -68,9 +68,33 @@ class AES128:
         policy: SnapPolicy = SnapPolicy.POLY,
         bootstrapper=None,
         use_jit: bool = False,
+        stab_sync: bool | None = None,
     ):
         self.ctx = ctx
         self.policy = policy
+        # Hard-sync (tiny dependent fetch) after every stabilize point.
+        # The axon TPU tunnel dispatches asynchronously and its
+        # block_until_ready returns early (DESIGN.md §13), so a full
+        # 10-round encrypt_states otherwise enqueues EVERY round's programs
+        # at once and the executor holds all queued intermediates live —
+        # measured round-4: enc10 at N=2^15 RESOURCE_EXHAUSTED the 16 GB
+        # chip exactly this way.  One ~28 ms round-trip per stabilize
+        # bounds the in-flight window to a round segment (~1 s total over
+        # 10 rounds — noise against multi-second kernels).  Default: on
+        # when a real accelerator backend is active, off on CPU (tests,
+        # virtual meshes — synchronous enough, and fetches break nothing
+        # but cost time).  AES_FHE_STAB_SYNC=0/1 overrides.
+        if stab_sync is None:
+            import os
+
+            env = os.environ.get("AES_FHE_STAB_SYNC")
+            if env is not None:
+                stab_sync = env != "0"
+            else:
+                import jax
+
+                stab_sync = jax.default_backend() not in ("cpu",)
+        self.stab_sync = stab_sync
         if policy is SnapPolicy.BOOTSTRAP and bootstrapper is None:
             from ..ckks.bootstrap import Bootstrapper
 
@@ -117,9 +141,32 @@ class AES128:
             n = self.encoder.batch
             decoded = self.encoder.decrypt(state[0], state[1], n_blocks=n)
             state = self.encoder.encrypt(decoded)
+        if self.stab_sync:
+            self._sync(state, tag)
         if debug is not None:
             debug[tag] = self._snapshot(state)
         return state
+
+    def _sync(self, state: CtPair, tag: str) -> None:
+        """Force completion of everything dispatched so far (see __init__)
+        and optionally log progress + device memory (AES_FHE_LOG_ROUNDS=1)."""
+        import os
+        import sys
+        import jax
+
+        jax.device_get(state[0].data[..., :1, :1])
+        if os.environ.get("AES_FHE_LOG_ROUNDS") == "1":
+            try:
+                stats = jax.local_devices()[0].memory_stats() or {}
+                mem = stats.get("bytes_in_use", 0) / 1e9
+            except Exception:
+                mem = float("nan")
+            print(
+                f"[pipeline] {tag}: l={state[0].n_limbs} "
+                f"hbm={mem:.2f}GB",
+                file=sys.stderr,
+                flush=True,
+            )
 
     def _log(self, debug: dict | None, tag: str, state: CtPair) -> CtPair:
         if debug is not None:

@@ -152,6 +152,52 @@ class ExportCache:
         safe = "".join(c if c.isalnum() or c in "._-" else "_" for c in tag)
         return self.dir / f"{safe}-{key}.jaxexp"
 
+    def get_or_build_exported(self, tag, extra, jitted, args, kwargs=None):
+        """Like ``get_or_build`` but returns the raw ``jax.export.Exported``
+        object (or None on failure) — callers that need ``out_avals`` for
+        shape-chaining without running anything (the multichip dryrun's
+        per-op program pipeline) use this and wrap ``.call`` themselves."""
+        kwargs = kwargs or {}
+        try:
+            _register_serializations()
+            key = self._key(tag, extra, args, kwargs)
+        except Exception as e:
+            self._warn("keying failed", tag, e)
+            return None
+        path = self._path(tag, key)
+        blob = None
+        if path.exists():
+            try:
+                t0 = time.time()
+                blob = path.read_bytes()
+                self._warn(
+                    f"loaded in {time.time()-t0:.1f}s "
+                    f"({len(blob)/1e6:.1f} MB)", tag, None
+                )
+            except OSError as e:
+                self._warn("read failed", tag, e)
+        if blob is None:
+            try:
+                t0 = time.time()
+                exported = jexport.export(jitted)(*args, **kwargs)
+                blob = exported.serialize()
+                self.dir.mkdir(parents=True, exist_ok=True)
+                tmp = path.with_suffix(f".tmp{os.getpid()}")
+                tmp.write_bytes(blob)
+                os.replace(tmp, path)
+                self._warn(
+                    f"exported in {time.time()-t0:.1f}s "
+                    f"({len(blob)/1e6:.1f} MB)", tag, None
+                )
+            except Exception as e:
+                self._warn("export failed", tag, e)
+                return None
+        try:
+            return jexport.deserialize(blob)
+        except Exception as e:
+            self._warn("deserialize failed", tag, e)
+            return None
+
     def get_or_build(self, tag, extra, jitted, args, kwargs=None):
         """Return ``(callable, status)``; callable is None if both the disk
         load and a fresh export failed (caller should use plain jit)."""

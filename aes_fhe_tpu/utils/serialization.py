@@ -84,9 +84,19 @@ def save_keyset(path: str | Path, keys: KeySet, compress: bool = True) -> None:
     # main thread ("dictionary changed size during iteration", observed on
     # a cold enc10 run).  Individual SwitchingKeys are immutable, so a
     # shallow copy is a consistent view.
-    for g, k in list(keys.galois.items()):
+    snapshot = list(keys.galois.items())
+    for g, k in snapshot:
         arrays[f"galois_{int(g)}_b"] = np.asarray(k.b_mont)
         arrays[f"galois_{int(g)}_seed"] = np.asarray(k.jkey)
+    # Manifest of the Galois ids in THIS snapshot (round-3 advisor): lets
+    # load_keyset detect a truncated/corrupt archive at load time instead
+    # of an opaque missing-key failure deep inside a later rotate.  A set
+    # snapshotted mid-bootstrap-keygen is *consistent but smaller*; that is
+    # fine — Bootstrapper/ops regenerate any keys they need via
+    # add_galois_keys, which fills only the gaps.
+    arrays["galois_manifest"] = np.asarray(
+        json.dumps(sorted(int(g) for g, _ in snapshot))
+    )
     (np.savez_compressed if compress else np.savez)(Path(path), **arrays)
 
 
@@ -100,8 +110,19 @@ def load_keyset(path: str | Path) -> KeySet:
                 jkey=jnp.asarray(z[name.removesuffix("_b") + "_seed"]),
             )
             for name in z.files
-            if name.startswith("galois_") and name.endswith("_b")
+            if name.startswith("galois_")
+            and name.endswith("_b")
+            and name != "galois_manifest"
         }
+        if "galois_manifest" in z.files:
+            expected = set(json.loads(str(z["galois_manifest"])))
+            if expected != set(galois):
+                raise ValueError(
+                    f"keyset archive {path} is incomplete: manifest lists "
+                    f"{len(expected)} Galois keys, found {len(galois)} "
+                    f"(missing {sorted(expected - set(galois))[:8]}...). "
+                    "Delete the cache file and regenerate."
+                )
         return KeySet(
             secret_mont=jnp.asarray(z["secret_mont"]),
             secret_ntt=jnp.asarray(z["secret_ntt"]),

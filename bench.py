@@ -52,6 +52,29 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# The reference's published numbers are for N=2^16 = 2048 AES blocks per
+# ciphertext pair (main.py:121-136); this bench's default ring is N=2^15 =
+# 1024 blocks.  All ``vs_baseline`` factors are therefore PER-BLOCK
+# normalized (round-3 verdict weak item #3): speedup =
+# (ref_sec / REF_BLOCKS) / (our_sec / our_blocks).  Raw wall-clock ratios
+# would overstate the win by our_blocks/REF_BLOCKS.
+REF_BLOCKS = 2048
+
+
+def per_block(result: dict, ref_sec: float, our_blocks: int) -> dict:
+    """Fill in per-block-normalized comparison fields for a timing result."""
+    t = result["value"]
+    result["blocks_per_ct"] = our_blocks
+    result["blocks_per_sec"] = round(our_blocks / t, 2)
+    result["ref_sec"] = ref_sec
+    result["ref_blocks"] = REF_BLOCKS
+    result["vs_baseline_wallclock"] = round(ref_sec / t, 1)
+    result["vs_baseline"] = round(
+        (ref_sec / REF_BLOCKS) / (t / our_blocks), 1
+    )
+    return result
+
+
 # ---------------------------------------------------------------------------
 # Watchdog: the round-1 driver run died rc=124 with NO json (keygen + cold
 # compiles overran the external timeout).  Now the bench *always* prints a
@@ -282,14 +305,16 @@ def bench_ark(logn: int):
     got = enc.decrypt(hi, lo, n_blocks=4)
     ok = bool(np.array_equal(got, states[:4] ^ keys[:4]))
     log(f"correctness (4 blocks): {ok}")
-    return {
-        "metric": "aes128_addroundkey_sec",
-        "value": t_med,
-        "unit": "s",
-        "vs_baseline": 1.63 / t_med,
-        "correct": ok,
-        "blocks_per_ct": enc.batch,
-    }
+    return per_block(
+        {
+            "metric": "aes128_addroundkey_sec",
+            "value": t_med,
+            "unit": "s",
+            "correct": ok,
+        },
+        ref_sec=1.63,
+        our_blocks=enc.batch,
+    )
 
 
 def bench_round(logn: int, inverse: bool = False, scale_bits: int = 58):
@@ -361,7 +386,8 @@ def bench_round(logn: int, inverse: bool = False, scale_bits: int = 58):
     metric = "aes128_inv_round_sec" if inverse else "aes128_round_sec"
     ref_sec0 = 13938.0 / 10 if inverse else 810.0
     note(phase="steady", metric=metric, value=round(warm, 2),
-         vs_baseline=round(ref_sec0 / warm, 1), warmup_sec=round(warm, 1),
+         vs_baseline=round((ref_sec0 / REF_BLOCKS) / (warm / enc.batch), 1),
+         warmup_sec=round(warm, 1),
          exec_path=exec_path, includes_compile=True)
 
     times = []
@@ -400,19 +426,21 @@ def bench_round(logn: int, inverse: bool = False, scale_bits: int = 58):
         metric = "aes128_round_sec"
     ok = bool(np.array_equal(got, want))
     log(f"round correctness (4 blocks): {ok}")
-    return {
-        "metric": metric,
-        "value": t_med,
-        "unit": "s",
-        "vs_baseline": ref_sec / t_med,
-        "correct": ok,
-        "blocks_per_ct": enc.batch,
-        "exec_path": exec_path,
-        "keys": "materialized-a"
-        if _os.environ.get("AES_FHE_MAT_KEYS", "1") != "0"
-        else "seed-compressed",
-        "warmup_sec": round(warm, 1),
-    }
+    return per_block(
+        {
+            "metric": metric,
+            "value": t_med,
+            "unit": "s",
+            "correct": ok,
+            "exec_path": exec_path,
+            "keys": "materialized-a"
+            if _os.environ.get("AES_FHE_MAT_KEYS", "1") != "0"
+            else "seed-compressed",
+            "warmup_sec": round(warm, 1),
+        },
+        ref_sec=ref_sec,
+        our_blocks=enc.batch,
+    )
 
 
 def bench_enc10(logn: int, scale_bits: int = 58):
@@ -449,7 +477,8 @@ def bench_enc10(logn: int, scale_bits: int = 58):
     warm = time.time() - t0
     log(f"warmup 10-round encrypt (incl compiles): {warm:.1f}s")
     note(phase="steady", value=round(warm, 2),
-         vs_baseline=round(8208.0 / warm, 1), warmup_sec=round(warm, 1),
+         vs_baseline=round((8208.0 / REF_BLOCKS) / (warm / enc.batch), 1),
+         warmup_sec=round(warm, 1),
          includes_compile=True)
 
     t0 = time.time()
@@ -463,16 +492,19 @@ def bench_enc10(logn: int, scale_bits: int = 58):
     want = np.stack([R.aes128_encrypt_state(s, rks) for s in states[:4]])
     ok = bool(np.array_equal(got, want))
     log(f"10-round correctness (4 blocks): {ok}")
-    return {
-        "metric": "aes128_encrypt10_sec",
-        "value": t_run,
-        "unit": "s",
-        "vs_baseline": 8208.0 / t_run,
-        "correct": ok,
-        "blocks_per_ct": enc.batch,
-        "exec_path": "jit" if want_jit else "eager",
-        "bootstraps": ctx.stats["bootstrap"],
-    }
+    return per_block(
+        {
+            "metric": "aes128_encrypt10_sec",
+            "value": t_run,
+            "unit": "s",
+            "correct": ok,
+            "exec_path": "jit" if want_jit else "eager",
+            "bootstraps": ctx.stats["bootstrap"],
+            "warmup_sec": round(warm, 1),
+        },
+        ref_sec=8208.0,
+        our_blocks=enc.batch,
+    )
 
 
 def bench_ks(logn: int, n_level: int = 68):
@@ -678,17 +710,20 @@ def bench_roundtrip(logn: int):
     ok = bool(np.array_equal(got, states[:4]))
     log(f"roundtrip correctness (4 blocks): {ok}")
     total = t_enc + t_dec
-    return {
-        "metric": "aes128_roundtrip_sec",
-        "value": total,
-        "unit": "s",
-        "vs_baseline": 22146.0 / total,
-        "correct": ok,
-        "encrypt_sec": t_enc,
-        "decrypt_sec": t_dec,
-        "blocks_per_ct": enc.batch,
-        "exec_path": "jit" if want_jit else "eager",
-    }
+    return per_block(
+        {
+            "metric": "aes128_roundtrip_sec",
+            "value": total,
+            "unit": "s",
+            "correct": ok,
+            "encrypt_sec": t_enc,
+            "decrypt_sec": t_dec,
+            "decrypt_includes_compile": True,
+            "exec_path": "jit" if want_jit else "eager",
+        },
+        ref_sec=22146.0,
+        our_blocks=enc.batch,
+    )
 
 
 def main() -> None:
@@ -712,9 +747,6 @@ def main() -> None:
         result = bench_ark(logn)
     elif mode == "enc10":
         result = bench_enc10(logn)
-    elif mode == "enc1029":
-        # depth-diet chain with the double-scale bootstrap interior
-        result = bench_enc10(logn, scale_bits=29)
     elif mode == "roundtrip":
         result = bench_roundtrip(logn)
     elif mode == "ks":
@@ -725,12 +757,16 @@ def main() -> None:
         result = bench_ntt_mxu(logn)
     elif mode == "round58":
         result = bench_round(logn, scale_bits=58)
-    elif mode == "round29":
-        # depth-diet chain: round consumes 35 limbs (vs 63); bit-exact on
-        # CPU, TPU warmup compiles still in progress as of round 2 — kept
-        # off the default until a complete verified TPU run exists.
-        result = bench_round(logn, scale_bits=29)
     else:
+        # NOTE the Δ=2^29 depth-diet modes (round29/enc1029) are RETIRED
+        # from the bench list (round-4 decision, DESIGN.md §15/§17): at
+        # production N the bare 2^29 chain decodes wrong (fresh-encryption
+        # noise 2^-12.6 + LUT-ladder amplification), and elevating every
+        # LUT ladder to Δ² to fix it costs back ~all of the limb savings
+        # (≤15% projected net vs the measured-correct Δ=2^58 chain).  The
+        # diet remains bit-exact and regression-tested at logn≤8
+        # (tests/test_depth_diet.py); the elevated-tier machinery it
+        # produced powers the bootstrap interior on every chain.
         result = bench_round(logn, inverse=(mode == "invround"))
     disarm_watchdog()
     result["total_sec"] = round(time.time() - _T_START, 1)

