@@ -102,6 +102,7 @@ def build_power_basis(
     targets: set[int],
     mirror: int | None = None,
     drop: int | None = None,
+    serialize: bool = False,
 ) -> dict[int, Ciphertext]:
     """Powers ct^k for k in targets (2-poly, relinearized).
 
@@ -113,6 +114,16 @@ def build_power_basis(
     rescale_drop) — the bootstrap's double-scale interior passes 2 on
     single-prime chains so basis scales stay pinned near its working scale
     instead of ballooning as scale^2/q per level.
+
+    ``serialize`` gates every multiply on the previous one with an
+    optimization barrier.  Same-depth powers are data-independent, so XLA's
+    scheduler otherwise interleaves their relinearization transients; at
+    bootstrap-EvalMod widths (stacked pair, l~90 at N=2^15) the ~12 Taylor
+    multiplies held ~0.5-1 GB of keyswitch temps EACH and the program
+    RESOURCE_EXHAUSTED the chip (round-4 enc10 autopsy — residents were
+    only 5.7 GiB of the 15 GiB limit; the rest was scheduler-inflated
+    workspace).  Each multiply saturates the VPU alone, so serializing
+    costs no meaningful overlap.
     """
     true_targets: set[int] = set()
     conj_from: dict[int, int] = {}
@@ -125,8 +136,18 @@ def build_power_basis(
         else:
             true_targets.add(k)
     basis: dict[int, Ciphertext] = {1: ct}
+    prev = None
     for k, a, b in power_schedule(true_targets):
-        basis[k] = ctx.multiply(basis[a], basis[b], drop=drop)
+        xa, xb = basis[a], basis[b]
+        if serialize and prev is not None:
+            import jax
+
+            da, db, _ = jax.lax.optimization_barrier(
+                (xa.data, xb.data, prev)
+            )
+            xa, xb = xa.with_data(da), xb.with_data(db)
+        basis[k] = ctx.multiply(xa, xb, drop=drop)
+        prev = basis[k].data
     for k, src in conj_from.items():
         basis[k] = ctx.conjugate(basis[src])
     return basis

@@ -163,7 +163,8 @@ class Bootstrapper:
         s_c = self.work_scale * drops / t_ct.scale
         w = ctx.rescale(ctx.mul_scalar(t_ct, c, s_c), nd)
         basis = build_power_basis(
-            ctx, w, set(range(2, self.taylor_deg + 1)), drop=self.mul_drop
+            ctx, w, set(range(2, self.taylor_deg + 1)), drop=self.mul_drop,
+            serialize=True,  # bound EvalMod's keyswitch transients (OOM fix)
         )
         coeffs = np.zeros((1, self.taylor_deg + 1), np.complex128)
         fact = 1.0

@@ -1392,8 +1392,8 @@ class CkksContext:
                 import sys
 
                 print(
-                    f"jit_fn: compiler rejected program for {tag}; eager "
-                    f"fallback ({type(e).__name__})",
+                    f"jit_fn: backend rejected program for {tag}; eager "
+                    f"fallback ({type(e).__name__}: {str(e)[:200]})",
                     file=sys.stderr,
                 )
                 state["eager"] = True
@@ -1442,6 +1442,16 @@ class CkksContext:
         # shared decomposition of the *unrotated* a-part (the automorphism
         # commutes with the per-limb digit split)
         ext = self._decompose_ext(a, l)
+        # Serialize the independent inner products when their combined
+        # transients could pressure HBM (see _rma_impl: the scheduler
+        # otherwise interleaves every rotation's ~16*B*J*(l+K)*N bytes of
+        # temps).  Gated by estimated size so small hoisted batches (the
+        # measured ShiftRows/MixColumns path) keep full scheduling freedom.
+        import math as _math
+
+        batch = _math.prod(data.shape[:-3]) if data.ndim > 3 else 1
+        est = 16 * batch * len(self.params.groups) * self.n_all * self.params.n
+        serialize = est * len(gs) > 2 << 30
         outs = []
         for gi, g in enumerate(gs):
             if g == 1:
@@ -1453,6 +1463,10 @@ class CkksContext:
             self.stats["keyswitch"] += 1
             d0 = add_mod(jnp.take(b, perm, axis=-1), d0, q)
             outs.append(jnp.stack([d0, d1], axis=-3))
+            if serialize:
+                ext, outs[-1] = jax.lax.optimization_barrier(
+                    (ext, outs[-1])
+                )
         return outs
 
     def rotate_mul_accum(
@@ -1512,6 +1526,17 @@ class CkksContext:
                 )
             t = mont_mul(d01, pstack[gi], q, qi)
             acc = t if acc is None else add_mod(acc, t, q)
+            if ext is not None:
+                # The per-rotation inner products are data-independent, so
+                # XLA's scheduler freely interleaves them — at bootstrap-DFT
+                # widths (l+K=132 rows, 16 diagonals/stage, stacked hi/lo)
+                # that's ~400 MB of transients PER ROTATION live at once,
+                # which RESOURCE_EXHAUSTED the 16 GB chip (round-4 enc10
+                # autopsy: OOM inside the first C2S stage).  Gating the
+                # shared decomposition on the accumulator serializes the
+                # rotations; each keyswitch saturates the VPU by itself, so
+                # the lost overlap is noise.
+                ext, acc = jax.lax.optimization_barrier((ext, acc))
         return self._rescale_impl(acc, d=l - 1)
 
     def conjugate(self, ct: Ciphertext) -> Ciphertext:

@@ -22,12 +22,12 @@ t0 = time.time()
 def mem(tag: str, sync_arr=None) -> None:
     if sync_arr is not None:
         jax.device_get(sync_arr[..., :1, :1])
-    s = jax.local_devices()[0].memory_stats() or {}
+    # memory_stats() is empty through the axon tunnel; client-side live
+    # array accounting still tells resident bytes (not XLA workspace).
+    live = sum(a.nbytes for a in jax.live_arrays())
     print(
-        f"[{time.time()-t0:7.1f}s] {tag}: in_use="
-        f"{s.get('bytes_in_use', 0)/2**30:.2f}GiB "
-        f"peak={s.get('peak_bytes_in_use', 0)/2**30:.2f}GiB "
-        f"limit={s.get('bytes_limit', 0)/2**30:.2f}GiB",
+        f"[{time.time()-t0:7.1f}s] {tag}: live_arrays="
+        f"{live/2**30:.2f}GiB",
         flush=True,
     )
 
