@@ -116,13 +116,61 @@ class Bootstrapper:
 
         self._q0 = p.moduli[0]
         self._mr_conv = make_conv_tables((self._q0,), p.moduli)
-        # EvalMod (Taylor basis + r squarings + arcsin correction) as one
-        # jitted program; the DFT stages are already fused per stage
-        # (ctx.rotate_mul_accum), so with this the bootstrap hot path is
-        # entirely compiled
-        self._eval_frac = (
-            ctx.jit_fn(self.eval_frac) if use_jit else self.eval_frac
-        )
+        # EvalMod as TWO jitted programs (Taylor basis + polynomial, then
+        # the r squarings + arcsin correction): the single combined program
+        # (~25 keyswitches) exceeded this environment's remote-TPU-compiler
+        # size limit (HTTP 500, round-4) and fell back to eager every run.
+        # The DFT stages are already fused per stage (ctx.rotate_mul_accum),
+        # so with this the bootstrap hot path is entirely compiled.
+        import os as _os
+
+        import jax as _jax
+
+        if use_jit:
+            self._ef_poly = ctx.jit_fn(self.eval_frac_poly)
+            # Part B (squarings + arcsin) stays EAGER on accelerator
+            # backends: its whole-program form executes fine as per-kernel
+            # programs but RESOURCE_EXHAUSTs the chip as one XLA program
+            # (round-4 measurement; a failed jit execution also leaks the
+            # program's buffers through the tunnel, wedging the device for
+            # everything after).  ~15 kernel dispatches x ~28 ms is noise
+            # against the refresh.  AES_FHE_JIT_EF_ITER=1 re-enables the
+            # jitted form for experiments.
+            jit_iter = _os.environ.get("AES_FHE_JIT_EF_ITER")
+            if jit_iter == "1" or (
+                jit_iter is None and _jax.default_backend() == "cpu"
+            ):
+                self._ef_iter = ctx.jit_fn(self.eval_frac_iter)
+            else:
+                self._ef_iter = self.eval_frac_iter
+        else:
+            self._ef_poly = self.eval_frac_poly
+            self._ef_iter = self.eval_frac_iter
+        # Hard-sync between refresh phases on real accelerator backends:
+        # the tunnel dispatches the whole refresh (5 C2S stages + EvalMod +
+        # 5 S2C stages) asynchronously, and the queued programs' workspaces
+        # overlap enough to RESOURCE_EXHAUST the chip even though the same
+        # phases run fine back-to-back with syncs between (round-4 enc10
+        # autopsy, tools/diag_enc10_mem.py).  ~5 fetches x ~28 ms per
+        # refresh — noise against the refresh itself.
+        import os
+
+        env = os.environ.get("AES_FHE_BOOT_SYNC")
+        if env is not None:
+            self._phase_sync = env != "0"
+        else:
+            import jax
+
+            self._phase_sync = jax.default_backend() not in ("cpu",)
+
+    def _eval_frac(self, t_ct: Ciphertext) -> Ciphertext:
+        return self._ef_iter(self._ef_poly(t_ct))
+
+    def _sync(self, ct: Ciphertext) -> None:
+        if self._phase_sync:
+            import jax
+
+            jax.device_get(ct.data[..., :1, :1])
 
     # ------------------------------------------------------------------
     def mod_raise(self, ct: Ciphertext) -> Ciphertext:
@@ -146,7 +194,13 @@ class Bootstrapper:
 
     def eval_frac(self, t_ct: Ciphertext) -> Ciphertext:
         """Slots hold real t in (-K/2, K/2); returns the arcsin-corrected
-        centered fractional part of t."""
+        centered fractional part of t.  (Un-jitted composition — the jitted
+        path is self._eval_frac, split into the two programs below.)"""
+        return self.eval_frac_iter(self.eval_frac_poly(t_ct))
+
+    def eval_frac_poly(self, t_ct: Ciphertext) -> Ciphertext:
+        """EvalMod part A: w = c*t at the work scale, Taylor power basis,
+        polynomial evaluation -> z ~ exp(2*pi*i*t/2^r)."""
         from ..aes.lut_eval import build_power_basis, eval_lut_2d
 
         ctx = self.ctx
@@ -172,10 +226,15 @@ class Bootstrapper:
             coeffs[0, k] = 1.0 / fact
             fact *= k + 1
         by = [None] + [basis.get(k) for k in range(1, self.taylor_deg + 1)]
-        z = eval_lut_2d(
+        return eval_lut_2d(
             ctx, coeffs, [None], by, delta_out=self.work_scale,
             min_coeff_scale_bits=36,
         )
+
+    def eval_frac_iter(self, z: Ciphertext) -> Ciphertext:
+        """EvalMod part B: square z up r times to exp(2*pi*i*t), then the
+        arcsin-corrected imaginary part."""
+        ctx = self.ctx
         for _ in range(self.r):
             z = ctx.multiply(z, z, drop=self.mul_drop)
 
@@ -207,7 +266,9 @@ class Bootstrapper:
         orig_scale = ct.scale  # ~Delta_b (exact tracked value)
 
         raised = self.mod_raise(ct)
+        self._sync(raised)
         z = ctx.to_scale(self.c2s(raised), self.work_scale)
+        self._sync(z)
 
         # conjugation split: z = t0 - i*t1 with t0, t1 real
         zc = ctx.conjugate(z)
@@ -217,10 +278,26 @@ class Bootstrapper:
             ctx.mul_scalar(ctx.sub(zc, z), -0.5j, s_half), 1
         )
 
-        # both conjugation-split halves ride ONE EvalMod (leading batch axis)
+        # Both conjugation-split halves ride ONE EvalMod (leading batch
+        # axis) on CPU; on the accelerator they run SEQUENTIALLY — the
+        # stacked program's working set sat within ~1 GiB of the 15 GiB
+        # limit and OOM'd intermittently (round-4: the same refresh at
+        # batch 2 passed or failed run-to-run with identical inputs).
+        # Halving the batch halves every keyswitch transient for the same
+        # total work.
         from .types import stack_cts, unstack_cts
 
-        f01 = self._eval_frac(stack_cts([t0, t1]))
+        if self._phase_sync:
+            halves = []
+            for t in (t0, t1):
+                fp = self._ef_poly(t)
+                self._sync(fp)
+                fi = self._ef_iter(fp)
+                self._sync(fi)
+                halves.append(fi)
+            f01 = stack_cts(self.ctx.align(*halves))
+        else:
+            f01 = self._eval_frac(stack_cts([t0, t1]))
         f0, f1 = unstack_cts(f01)
 
         # repack z' = f0 - i*f1 at exactly matched scales
@@ -233,6 +310,7 @@ class Bootstrapper:
         z2 = ctx.rescale(ctx.add(a, b), 1)
 
         out = self.s2c(z2)
+        self._sync(out)
         new_scale = out.scale * orig_scale / Fraction(self._q0)
         out = Ciphertext(data=out.data, scale=new_scale, ntt=True)
         # Rebase to the working scale: new_scale sits ~2^9 below Delta, and

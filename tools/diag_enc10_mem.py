@@ -76,8 +76,14 @@ def main() -> None:
     t0_ = ctx.rescale(ctx.mul_scalar(ctx.add(z, zc), 0.5, s_half), 1)
     t1_ = ctx.rescale(ctx.mul_scalar(ctx.sub(zc, z), -0.5j, s_half), 1)
     mem("conj split", t1_.data)
-    f01 = boot._eval_frac(stack_cts([t0_, t1_]))
-    mem("eval_frac", f01.data)
+    halves = []
+    for t in (t0_, t1_):
+        fp = boot._ef_poly(t)
+        mem("eval_frac_poly half", fp.data)
+        fi = boot._ef_iter(fp)
+        mem("eval_frac_iter half", fi.data)
+        halves.append(fi)
+    f01 = stack_cts(ctx.align(*halves))
     f0, f1 = unstack_cts(f01)
     l = min(f0.n_limbs, f1.n_limbs)
     f0 = ctx.drop_limbs(f0, f0.n_limbs - l)
