@@ -69,9 +69,19 @@ class AES128:
         bootstrapper=None,
         use_jit: bool = False,
         stab_sync: bool | None = None,
+        entry_limbs: int | None = None,
     ):
         self.ctx = ctx
         self.policy = policy
+        # Mod-switch fresh encryptions down to ``entry_limbs`` before round
+        # 0 (exact: dropping RNS rows is ciphertext mod a divisor modulus).
+        # Under the BOOTSTRAP policy every refresh lands at a fixed level
+        # (34 limbs at the bench chain), so entering there makes round 0's
+        # ark/stabilize programs IDENTICAL to every later round's — no
+        # full-width programs exist anywhere in the pipeline, which both
+        # removes ~4 program signatures from warmup and keeps round 0's
+        # working set at the small per-round size (round-4 enc10 finding).
+        self.entry_limbs = entry_limbs
         # Hard-sync (tiny dependent fetch) after every stabilize point.
         # The axon TPU tunnel dispatches asynchronously and its
         # block_until_ready returns early (DESIGN.md §13), so a full
@@ -156,14 +166,14 @@ class AES128:
 
         jax.device_get(state[0].data[..., :1, :1])
         if os.environ.get("AES_FHE_LOG_ROUNDS") == "1":
-            try:
-                stats = jax.local_devices()[0].memory_stats() or {}
-                mem = stats.get("bytes_in_use", 0) / 1e9
-            except Exception:
-                mem = float("nan")
+            import time
+
+            now = time.time()
+            dt = now - getattr(self, "_last_sync_t", now)
+            self._last_sync_t = now
             print(
                 f"[pipeline] {tag}: l={state[0].n_limbs} "
-                f"hbm={mem:.2f}GB",
+                f"segment={dt:.1f}s",
                 file=sys.stderr,
                 flush=True,
             )
@@ -195,6 +205,11 @@ class AES128:
                 [states, np.tile(states[:1], (B - states.shape[0], 1))]
             )
         ct = self.encoder.encrypt(states)
+        if self.entry_limbs is not None:
+            ct = tuple(
+                self.ctx.drop_limbs(c, max(0, c.n_limbs - self.entry_limbs))
+                for c in ct
+            )
         self._log(debug, "enc.input", ct)
 
         ct = self.ark(ct, rk[0])

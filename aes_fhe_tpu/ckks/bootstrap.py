@@ -122,30 +122,21 @@ class Bootstrapper:
         # size limit (HTTP 500, round-4) and fell back to eager every run.
         # The DFT stages are already fused per stage (ctx.rotate_mul_accum),
         # so with this the bootstrap hot path is entirely compiled.
-        import os as _os
-
-        import jax as _jax
-
         if use_jit:
+            # THREE mid-size programs instead of one: the combined EvalMod
+            # exceeded the remote compiler's size limit, and even the
+            # squarings+arcsin half over-reserved workspace and
+            # RESOURCE_EXHAUSTED at execution (round-4).  At roughly a
+            # dozen keyswitches each, all three compile and execute; the
+            # eager alternative paid ~0.1-0.3 s tunnel latency per kernel
+            # dispatch, dominating the refresh.
             self._ef_poly = ctx.jit_fn(self.eval_frac_poly)
-            # Part B (squarings + arcsin) stays EAGER on accelerator
-            # backends: its whole-program form executes fine as per-kernel
-            # programs but RESOURCE_EXHAUSTs the chip as one XLA program
-            # (round-4 measurement; a failed jit execution also leaks the
-            # program's buffers through the tunnel, wedging the device for
-            # everything after).  ~15 kernel dispatches x ~28 ms is noise
-            # against the refresh.  AES_FHE_JIT_EF_ITER=1 re-enables the
-            # jitted form for experiments.
-            jit_iter = _os.environ.get("AES_FHE_JIT_EF_ITER")
-            if jit_iter == "1" or (
-                jit_iter is None and _jax.default_backend() == "cpu"
-            ):
-                self._ef_iter = ctx.jit_fn(self.eval_frac_iter)
-            else:
-                self._ef_iter = self.eval_frac_iter
+            self._ef_sq = ctx.jit_fn(self.eval_frac_sq)
+            self._ef_asin = ctx.jit_fn(self.eval_frac_asin)
         else:
             self._ef_poly = self.eval_frac_poly
-            self._ef_iter = self.eval_frac_iter
+            self._ef_sq = self.eval_frac_sq
+            self._ef_asin = self.eval_frac_asin
         # Hard-sync between refresh phases on real accelerator backends:
         # the tunnel dispatches the whole refresh (5 C2S stages + EvalMod +
         # 5 S2C stages) asynchronously, and the queued programs' workspaces
@@ -164,7 +155,12 @@ class Bootstrapper:
             self._phase_sync = jax.default_backend() not in ("cpu",)
 
     def _eval_frac(self, t_ct: Ciphertext) -> Ciphertext:
-        return self._ef_iter(self._ef_poly(t_ct))
+        return self._ef_asin(self._ef_sq(self._ef_poly(t_ct)))
+
+    def _ef_iter(self, z: Ciphertext) -> Ciphertext:
+        zq = self._ef_sq(z)
+        self._sync(zq)
+        return self._ef_asin(zq)
 
     def _sync(self, ct: Ciphertext) -> None:
         if self._phase_sync:
@@ -232,17 +228,25 @@ class Bootstrapper:
         )
 
     def eval_frac_iter(self, z: Ciphertext) -> Ciphertext:
-        """EvalMod part B: square z up r times to exp(2*pi*i*t), then the
-        arcsin-corrected imaginary part."""
+        """EvalMod part B (un-jitted composition of the two programs)."""
+        return self.eval_frac_asin(self.eval_frac_sq(z))
+
+    def eval_frac_sq(self, z: Ciphertext) -> Ciphertext:
+        """EvalMod part B1: square z up r times to exp(2*pi*i*t)."""
         ctx = self.ctx
         for _ in range(self.r):
             z = ctx.multiply(z, z, drop=self.mul_drop)
+        return z
 
-        # arcsin correction: x ~ s + (2pi)^2/6 * s^3, s = (z - zbar)/(4*pi*i),
-        # s^3 = ((z^3 - zbar^3) - 3(z - zbar)) / (4*pi*i)^3
-        #  => x ~ a*(z - zbar) + b*(z^3 - zbar^3),
-        #     a = -9i/(32*pi),  b = +i/(96*pi)
-        # (verified numerically: residual ~1e-9 on the working range)
+    def eval_frac_asin(self, z: Ciphertext) -> Ciphertext:
+        """EvalMod part B2: arcsin-corrected imaginary part.
+
+        x ~ s + (2pi)^2/6 * s^3,  s = (z - zbar)/(4*pi*i),
+        s^3 = ((z^3 - zbar^3) - 3(z - zbar)) / (4*pi*i)^3
+          => x ~ a*(z - zbar) + b*(z^3 - zbar^3),
+             a = -9i/(32*pi),  b = +i/(96*pi)
+        (verified numerically: residual ~1e-9 on the working range)"""
+        ctx = self.ctx
         z3 = ctx.multiply(
             ctx.multiply(z, z, drop=self.mul_drop), z, drop=self.mul_drop
         )

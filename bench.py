@@ -9,15 +9,25 @@ pair), the BASELINE.json metric.  Reference: ~810 s/round on its CPU engine
 (README.md:117).  ``vs_baseline`` is the speedup factor
 (reference_seconds / ours; > 1 means faster than the reference).
 
-Modes:  python bench.py [round|invround|enc10|ark] [logn]
+Modes:  python bench.py [round|invround|enc10|dec10|ark|...] [logn]
   round    : full forward round, default logn=15 (1024 AES blocks/ct pair)
   invround : full inverse round (ISR -> ISB -> ARK -> InvMixColumns, the
              order the reference's committed decrypt DROPPED — SURVEY.md Q1);
              reference decryption: ~1394 s/round CPU (README.md:118)
   enc10    : COMPLETE 10-round AES-128 encryption, bootstrap-stabilized (no
              secret key anywhere in the hot path — the reference used
-             hard renorm); reference: 8,208 s CPU (README.md:117)
+             hard renorm); reference: 8,208 s CPU (README.md:117).  Set
+             AES_FHE_SAVE_CT=<path> to hand the output pair to dec10.
+  dec10    : COMPLETE 10-round decryption (correct inverse order, fixing
+             reference quirk Q1) of an enc10-saved pair + exact roundtrip
+             recovery; reference: 13,938 s CPU (README.md:118).  enc10 +
+             dec10 together are the reference's 22,146 s roundtrip — run
+             as two processes because the TPU tunnel leaks HBM across
+             program executions (DESIGN.md §17).
   ark      : AddRoundKey only (reference's 1.63 s microbenchmark, main.py:144)
+
+All vs_baseline factors are PER-BLOCK normalized (the reference packs 2048
+blocks/ct pair at N=2^16; the default bench ring is N=2^15 = 1024 blocks).
 """
 
 from __future__ import annotations
@@ -469,29 +479,82 @@ def bench_enc10(logn: int, scale_bits: int = 58):
     rks = R.expand_aes128_key(key)
 
     want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
-    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit)
+    # AES_FHE_ENTRY_LIMBS=34 enters round 0 at the refresh output level so
+    # every round shares one program-signature set (AES128.entry_limbs).
+    # DEFAULT OFF: with it on, the 2-round pipeline at N=2^15 decoded the
+    # final-round AddRoundKey catastrophically wrong (round-4 stage
+    # differential) while the identical pipeline without it was exact to
+    # 2/16384 bytes — root cause still open, do not enable for measured
+    # runs until it is.
+    entry = int(_os.environ.get("AES_FHE_ENTRY_LIMBS", "0")) or None
+    pipe = AES128(
+        ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit,
+        entry_limbs=entry,
+    )
     resave_keys(ctx)  # persist the bootstrap DFT keys for warm runs
+    n_rounds = int(_os.environ.get("AES_FHE_ENC_ROUNDS", "10"))
     t0 = time.time()
-    ct = pipe.encrypt_states(states, rks)
-    fetch_sync(ct[0].data, ct[1].data)
-    warm = time.time() - t0
-    log(f"warmup 10-round encrypt (incl compiles): {warm:.1f}s")
-    note(phase="steady", value=round(warm, 2),
-         vs_baseline=round((8208.0 / REF_BLOCKS) / (warm / enc.batch), 1),
-         warmup_sec=round(warm, 1),
-         includes_compile=True)
-
-    t0 = time.time()
-    ct = pipe.encrypt_states(states, rks)
+    ct = pipe.encrypt_states(states, rks, n_rounds=n_rounds)
     fetch_sync(ct[0].data, ct[1].data)
     t_run = time.time() - t0
-    log(f"steady 10-round encrypt: {t_run:.1f}s "
+    log(f"{n_rounds}-round encrypt pass: {t_run:.1f}s "
         f"(bootstraps: {ctx.stats['bootstrap']})")
+    note(phase="verify", value=round(t_run, 2),
+         vs_baseline=round((8208.0 / REF_BLOCKS) / (t_run / enc.batch), 1),
+         includes_compile=True)
 
-    got = pipe.decode(ct, n_blocks=4)
-    want = np.stack([R.aes128_encrypt_state(s, rks) for s in states[:4]])
+    # A second in-process pass would normally give the clean steady number,
+    # but this environment's TPU tunnel LEAKS HBM across program executions
+    # (round-4 measurement: client-side live arrays were 5.79 GiB after a
+    # full pass, yet the very first re-dispatched program hit
+    # RESOURCE_EXHAUSTED on the ~15 GiB chip) — so the default is ONE
+    # measured pass.  With the repo's disk caches warm that pass IS steady
+    # execution: every program deserializes from the XLA cache (no tracing,
+    # no compiles); only the first-dispatch program loads (~tens of
+    # seconds) are extra, and they are reported, not hidden.
+    if _os.environ.get("AES_FHE_ENC10_TWO_PASS", "0") == "1":
+        import gc
+
+        del ct
+        gc.collect()
+        live = sum(a.nbytes for a in jax.live_arrays())
+        log(f"live device arrays before steady pass: {live/2**30:.2f} GiB")
+        t0 = time.time()
+        ct = pipe.encrypt_states(states, rks)
+        fetch_sync(ct[0].data, ct[1].data)
+        t_run = time.time() - t0
+        log(f"steady 10-round encrypt: {t_run:.1f}s")
+
+    got = pipe.decode(ct)  # ALL blocks: marginal-noise bytes must show
+
+    def want_state(s):
+        s = R.add_round_key(s, rks[0])
+        for r in range(1, n_rounds):
+            s = R.add_round_key(
+                R.mix_columns(R.shift_rows(R.sub_bytes(s))), rks[r]
+            )
+        return R.add_round_key(R.shift_rows(R.sub_bytes(s)), rks[n_rounds])
+
+    want = np.stack([want_state(s.copy()) for s in states])
     ok = bool(np.array_equal(got, want))
-    log(f"10-round correctness (4 blocks): {ok}")
+    mism = int((got != want).sum())
+    log(f"{n_rounds}-round correctness (ALL {enc.batch} blocks): {ok} "
+        f"(mismatched bytes: {mism}/{got.size})")
+    if mism:
+        log(f"  got[0] : {got[0].tolist()}")
+        log(f"  want[0]: {want[0].tolist()}")
+
+    # Hand-off for the dec10 half of the roundtrip (run as a SEPARATE
+    # process: the tunnel's cross-execution HBM leak rules out ~70
+    # refreshes in one process — see the two-pass comment above).
+    save_ct = _os.environ.get("AES_FHE_SAVE_CT")
+    if save_ct:
+        from aes_fhe_tpu.utils.serialization import save_ciphertext
+
+        save_ciphertext(save_ct + ".hi", ct[0])
+        save_ciphertext(save_ct + ".lo", ct[1])
+        log(f"saved encrypted state pair to {save_ct}.{{hi,lo}}.npz")
+
     return per_block(
         {
             "metric": "aes128_encrypt10_sec",
@@ -500,9 +563,69 @@ def bench_enc10(logn: int, scale_bits: int = 58):
             "correct": ok,
             "exec_path": "jit" if want_jit else "eager",
             "bootstraps": ctx.stats["bootstrap"],
-            "warmup_sec": round(warm, 1),
+            "single_pass": _os.environ.get("AES_FHE_ENC10_TWO_PASS", "0")
+            != "1",
+            "includes_program_loads": True,
         },
         ref_sec=8208.0,
+        our_blocks=enc.batch,
+    )
+
+
+def bench_dec10(logn: int):
+    """Complete 10-round homomorphic AES-128 DECRYPTION in the correct
+    inverse order (ISR -> ISB -> ARK -> InvMixColumns — fixing reference
+    quirk Q1), bootstrap-stabilized.  Reference: 13,938 s CPU
+    (README.md:118).
+
+    Input: the ciphertext pair a previous ``enc10`` run saved via
+    AES_FHE_SAVE_CT (same params/seed, so the persisted keyset matches).
+    Exact roundtrip recovery of the original plaintext blocks is checked,
+    closing the encrypt->decrypt loop across the two processes."""
+    from aes_fhe_tpu.aes.pipeline import AES128, SnapPolicy
+    from aes_fhe_tpu.aes import reference as R
+    from aes_fhe_tpu.utils.serialization import load_ciphertext
+
+    ct_path = _os.environ.get("AES_FHE_LOAD_CT", "/tmp/enc10_ct")
+    n_level = 96
+    ctx, enc = build(logn, n_level, secret_hamming=192)
+    rng = np.random.default_rng(0)
+    states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
+    key = np.arange(16, dtype=np.uint8)
+    rks = R.expand_aes128_key(key)
+
+    ct = (
+        load_ciphertext(ct_path + ".hi.npz"),
+        load_ciphertext(ct_path + ".lo.npz"),
+    )
+    log(f"loaded encrypted state pair from {ct_path}.{{hi,lo}}.npz "
+        f"(l={ct[0].n_limbs})")
+
+    want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
+    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit)
+    resave_keys(ctx)
+    t0 = time.time()
+    out = pipe.decrypt_states(ct, rks)
+    fetch_sync(out[0].data, out[1].data)
+    t_run = time.time() - t0
+    log(f"10-round decrypt pass: {t_run:.1f}s "
+        f"(bootstraps: {ctx.stats['bootstrap']})")
+
+    got = pipe.decode(out, n_blocks=4)
+    ok = bool(np.array_equal(got, states[:4]))
+    log(f"roundtrip recovery (4 blocks): {ok}")
+    return per_block(
+        {
+            "metric": "aes128_decrypt10_sec",
+            "value": t_run,
+            "unit": "s",
+            "correct": ok,
+            "exec_path": "jit" if want_jit else "eager",
+            "bootstraps": ctx.stats["bootstrap"],
+            "single_pass": True,
+            "includes_program_loads": True,
+        },
+        ref_sec=13938.0,
         our_blocks=enc.batch,
     )
 
@@ -733,7 +856,7 @@ def main() -> None:
     metric_by_mode = {
         "ark": "aes128_addroundkey_sec",
         "enc10": "aes128_encrypt10_sec",
-        "enc1029": "aes128_encrypt10_sec",
+        "dec10": "aes128_decrypt10_sec",
         "roundtrip": "aes128_roundtrip_sec",
         "ks": "keyswitch_sec",
         "ntt": "ntt_sec",
@@ -747,6 +870,8 @@ def main() -> None:
         result = bench_ark(logn)
     elif mode == "enc10":
         result = bench_enc10(logn)
+    elif mode == "dec10":
+        result = bench_dec10(logn)
     elif mode == "roundtrip":
         result = bench_roundtrip(logn)
     elif mode == "ks":

@@ -103,6 +103,19 @@ def main() -> None:
     mem("snap", out2[0].data)
     print("bootstrap phases completed; output limbs:", out2[0].n_limbs)
 
+    # Fidelity: the refreshed pair must decode to the SAME bytes as the
+    # pre-refresh state (r0 ark output = states ^ rk0).
+    want = states[:8] ^ np.asarray(rks[0], np.uint8)[None, :]
+    got_pre = pipe.decode(ct, n_blocks=8)
+    got_post = pipe.decode(out2, n_blocks=8)
+    pre_m = int((got_pre != want).sum())
+    post_m = int((got_post != want).sum())
+    print(f"pre-refresh decode mismatches:  {pre_m}/{want.size}")
+    print(f"post-refresh decode mismatches: {post_m}/{want.size}")
+    # raw slot magnitudes/phases of the refreshed hi ciphertext
+    vals = ctx.decrypt_values(out2[0])[:8]
+    print("refreshed hi slots [:8]:", np.round(vals, 4).tolist())
+
 
 if __name__ == "__main__":
     main()
