@@ -1,0 +1,77 @@
+"""Per-round stage differential for the bootstrap-stabilized pipeline on
+the real chip: decode EVERY pipeline stage against the FIPS reference
+intermediates (the reference's own _log_pair method, SURVEY.md §4) and
+print the mismatch count per stage — the tool that localizes where the
+10-round enc10 run loses blocks (round-4: 2/16,384 bytes off at 2 rounds,
+~all blocks wrong at 10).
+
+Usage:
+    AES_FHE_DIAG_ROUNDS=10 [AES_FHE_ENTRY_LIMBS=34] python tools/diag_rounds.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import bench
+from aes_fhe_tpu.aes.pipeline import AES128, SnapPolicy
+from aes_fhe_tpu.aes import reference as R
+
+
+def main() -> None:
+    n_rounds = int(os.environ.get("AES_FHE_DIAG_ROUNDS", "10"))
+    entry = int(os.environ.get("AES_FHE_ENTRY_LIMBS", "0")) or None
+    ctx, enc = bench.build(15, 96, secret_hamming=192)
+    pipe = AES128(
+        ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=True, entry_limbs=entry
+    )
+    rng = np.random.default_rng(0)
+    states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
+    rks = R.expand_aes128_key(np.arange(16, dtype=np.uint8))
+
+    debug: dict[str, np.ndarray] = {}
+    pipe.encrypt_states(states, rks, n_rounds=n_rounds, debug=debug)
+
+    # reference intermediates, tagged like the pipeline's _log calls
+    ref: dict[str, np.ndarray] = {}
+    s = states.copy()
+    ref["enc.input"] = s
+    s = np.stack([R.add_round_key(x, rks[0]) for x in s])
+    ref["enc.r0.ark"] = ref["enc.r0.stab"] = s
+    for r in range(1, n_rounds):
+        s = np.stack([R.sub_bytes(x) for x in s])
+        ref[f"enc.r{r}.sub"] = ref[f"enc.r{r}.sub.stab"] = s
+        s = np.stack([R.shift_rows(x) for x in s])
+        ref[f"enc.r{r}.sr"] = s
+        s = np.stack([R.mix_columns(x) for x in s])
+        ref[f"enc.r{r}.mc"] = ref[f"enc.r{r}.mc.stab"] = s
+        s = np.stack([R.add_round_key(x, rks[r]) for x in s])
+        ref[f"enc.r{r}.ark"] = ref[f"enc.r{r}.stab"] = s
+    s = np.stack([R.sub_bytes(x) for x in s])
+    ref["enc.final.sub"] = ref["enc.final.sub.stab"] = s
+    s = np.stack([R.shift_rows(x) for x in s])
+    ref["enc.final.sr"] = s
+    s = np.stack([R.add_round_key(x, rks[n_rounds]) for x in s])
+    ref["enc.final.ark"] = ref["enc.output"] = s
+
+    for tag, dec in debug.items():
+        if tag not in ref:
+            print(f"{tag:24s} (no reference)", flush=True)
+            continue
+        bad = dec != ref[tag]
+        m = int(bad.sum())
+        n_blocks_bad = int((bad.any(axis=1)).sum())
+        print(
+            f"{tag:24s} bytes wrong {m:6d}/{bad.size}  "
+            f"blocks tainted {n_blocks_bad:5d}/{bad.shape[0]}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
