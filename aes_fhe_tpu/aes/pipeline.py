@@ -195,28 +195,46 @@ class AES128:
         round_keys: list[np.ndarray],
         n_rounds: int = 10,
         debug: dict[str, Any] | None = None,
+        resume_ct: CtPair | None = None,
+        start_round: int = 1,
+        stop_round: int | None = None,
     ) -> CtPair:
-        """Full homomorphic AES-128 encryption of packed plaintext blocks."""
+        """Full homomorphic AES-128 encryption of packed plaintext blocks.
+
+        ``resume_ct``/``start_round``/``stop_round`` run a SEGMENT of the
+        encryption: resume from the state after round ``start_round - 1``'s
+        stabilize, process rounds ``start_round .. stop_round - 1``, and
+        (only when ``stop_round`` is None) finish with the final round.
+        This is the checkpoint/resume hook that lets one logical encryption
+        run as several processes (this environment's TPU tunnel silently
+        corrupts results after ~6 refreshes in one process, DESIGN.md §18;
+        the ciphertext pair round-trips exactly through
+        utils/serialization between segments)."""
         rk = self.prepare_round_keys(round_keys)
-        B = self.encoder.batch
-        states = np.atleast_2d(np.asarray(states, np.uint8))
-        if states.shape[0] < B:  # pad the batch with copies of block 0
-            states = np.vstack(
-                [states, np.tile(states[:1], (B - states.shape[0], 1))]
-            )
-        ct = self.encoder.encrypt(states)
-        if self.entry_limbs is not None:
-            ct = tuple(
-                self.ctx.drop_limbs(c, max(0, c.n_limbs - self.entry_limbs))
-                for c in ct
-            )
-        self._log(debug, "enc.input", ct)
+        if resume_ct is not None:
+            ct = resume_ct
+        else:
+            B = self.encoder.batch
+            states = np.atleast_2d(np.asarray(states, np.uint8))
+            if states.shape[0] < B:  # pad the batch with copies of block 0
+                states = np.vstack(
+                    [states, np.tile(states[:1], (B - states.shape[0], 1))]
+                )
+            ct = self.encoder.encrypt(states)
+            if self.entry_limbs is not None:
+                ct = tuple(
+                    self.ctx.drop_limbs(
+                        c, max(0, c.n_limbs - self.entry_limbs)
+                    )
+                    for c in ct
+                )
+            self._log(debug, "enc.input", ct)
 
-        ct = self.ark(ct, rk[0])
-        self._log(debug, "enc.r0.ark", ct)
-        ct = self._stabilize(ct, debug, "enc.r0.stab")
+            ct = self.ark(ct, rk[0])
+            self._log(debug, "enc.r0.ark", ct)
+            ct = self._stabilize(ct, debug, "enc.r0.stab")
 
-        for r in range(1, n_rounds):
+        for r in range(start_round, n_rounds):
             ct = self._log(debug, f"enc.r{r}.sub", self.sub(*ct))
             ct = self._stabilize(ct, debug, f"enc.r{r}.sub.stab")
             ct = self._log(debug, f"enc.r{r}.sr", self.shift(ct))
@@ -224,6 +242,8 @@ class AES128:
             ct = self._stabilize(ct, debug, f"enc.r{r}.mc.stab")
             ct = self._log(debug, f"enc.r{r}.ark", self.ark(ct, rk[r]))
             ct = self._stabilize(ct, debug, f"enc.r{r}.stab")
+            if stop_round is not None and r + 1 >= stop_round:
+                return ct  # segment end: caller resumes with start_round=r+1
 
         ct = self._log(debug, "enc.final.sub", self.sub(*ct))
         ct = self._stabilize(ct, debug, "enc.final.sub.stab")
