@@ -13,7 +13,11 @@ from aes_fhe_tpu.ckks.bootstrap import Bootstrapper
 
 @pytest.fixture(scope="module")
 def bctx():
-    params = make_params(logn=7, n_level_primes=44, dnum=3)
+    # 48 level primes: the round-4 EvalMod range fix (K sized by the
+    # max-over-2N extreme-value quantile, bootstrap.py) costs one extra
+    # squaring, so the interior consumes ~4 more limbs than the old chain
+    # budgeted for.
+    params = make_params(logn=7, n_level_primes=48, dnum=3)
     return CkksContext(params, seed=11, secret_hamming=32)
 
 

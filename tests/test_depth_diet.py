@@ -59,7 +59,7 @@ def test_two_rounds_bootstrap_policy_29bit(rng):
     S-box).  The Bootstrapper now runs its interior at Δ²=2^58 (two primes
     per rescale), measured 2.7e-6 after snap, and the 2-round pipeline must
     decode bit-exactly with no secret key in the hot path."""
-    params = make_params(logn=8, n_level_primes=92, dnum=3, scale_bits=29)
+    params = make_params(logn=8, n_level_primes=96, dnum=3, scale_bits=29)  # +4 for the round-4 EvalMod range fix
     assert params.rescale_drop == 1
     stride = params.n_slots // 16
     ctx = CkksContext(

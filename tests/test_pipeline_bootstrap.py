@@ -35,7 +35,7 @@ def test_full_roundtrip_bootstrap_policy(rng):
     encrypt+decrypt — ~65 stacked-pair bootstraps — runs end-to-end with
     refresh + snap alone, and the roundtrip recovers the plaintext exactly.
     """
-    params = make_params(logn=7, n_level_primes=86, dnum=3)
+    params = make_params(logn=7, n_level_primes=90, dnum=3)  # +4 for the round-4 EvalMod range fix (one extra squaring)
     stride = params.n_slots // 16
     ctx = CkksContext(
         params,
@@ -60,7 +60,7 @@ def test_full_roundtrip_bootstrap_policy(rng):
 def test_two_rounds_bootstrap_policy(rng):
     # budget: bootstrap ~41 limbs + snap ~12 + deepest op (SubBytes) ~26
     # + base/slack
-    params = make_params(logn=7, n_level_primes=86, dnum=3)
+    params = make_params(logn=7, n_level_primes=90, dnum=3)  # +4 for the round-4 EvalMod range fix (one extra squaring)
     stride = params.n_slots // 16
     ctx = CkksContext(
         params,
