@@ -258,15 +258,34 @@ class AES128:
         round_keys: list[np.ndarray],
         n_rounds: int = 10,
         debug: dict[str, Any] | None = None,
+        resume_ct: CtPair | None = None,
+        start_round: int | None = None,
+        stop_round: int | None = None,
     ) -> CtPair:
         """Full homomorphic AES-128 decryption — correct inverse order
-        (ISR -> ISB -> ARK -> IMC), fixing reference quirk Q1."""
-        rk = self.prepare_round_keys(round_keys)
-        self._log(debug, "dec.input", ct)
-        ct = self._log(debug, "dec.init.ark", self.ark(ct, rk[n_rounds]))
-        ct = self._stabilize(ct, debug, "dec.init.stab")
+        (ISR -> ISB -> ARK -> IMC), fixing reference quirk Q1.
 
-        for r in range(n_rounds - 1, 0, -1):
+        ``resume_ct``/``start_round``/``stop_round`` run a SEGMENT of the
+        decryption, mirroring ``encrypt_states``'s checkpoint/resume hook
+        (the loop counts DOWN here): resume from the state after inverse
+        round ``start_round + 1``, process inverse rounds ``start_round ..
+        stop_round`` descending, and return after round ``stop_round``
+        (caller resumes with ``start_round = stop_round - 1``).  With
+        ``stop_round=None`` the segment runs through the final round.
+        ``start_round=0`` means final-round-only."""
+        rk = self.prepare_round_keys(round_keys)
+        if start_round is None:
+            start_round = n_rounds - 1
+        if resume_ct is not None:
+            ct = resume_ct
+        else:
+            self._log(debug, "dec.input", ct)
+            ct = self._log(
+                debug, "dec.init.ark", self.ark(ct, rk[n_rounds])
+            )
+            ct = self._stabilize(ct, debug, "dec.init.stab")
+
+        for r in range(start_round, 0, -1):
             ct = self._log(debug, f"dec.r{r}.isr", self.inv_shift(ct))
             ct = self._log(debug, f"dec.r{r}.isb", self.inv_sub(*ct))
             ct = self._stabilize(ct, debug, f"dec.r{r}.isb.stab")
@@ -274,6 +293,8 @@ class AES128:
             ct = self._stabilize(ct, debug, f"dec.r{r}.ark.stab")
             ct = self._log(debug, f"dec.r{r}.imc", self.inv_mix(ct))
             ct = self._stabilize(ct, debug, f"dec.r{r}.imc.stab")
+            if stop_round is not None and r <= stop_round:
+                return ct  # segment end: resume with start_round=r-1
 
         ct = self._log(debug, "dec.final.isr", self.inv_shift(ct))
         ct = self._log(debug, "dec.final.isb", self.inv_sub(*ct))
