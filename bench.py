@@ -475,7 +475,17 @@ def bench_enc10(logn: int, scale_bits: int = 58):
     # consumption is the same BITS as the deep chain, the AES rounds
     # outside run at 35 limbs instead of 63); 80 single-width primes cover
     # interior (~50) + snap + SubBytes.
-    n_level = 96 if scale_bits == 58 else 80
+    # 98 primes (was 96): the round-4 EvalMod range fix (bootstrap.py —
+    # the corruption "cliff" was ONE lifted coefficient exceeding the old
+    # N-independent 4.5-sigma bound per 10-round run) widened K 32 -> 64
+    # at N=2^15, adding one double-angle squaring = one more Δ=2^58
+    # rescale = 2 limbs of interior consumption per refresh.  +2 level
+    # primes restore the measured 34-limb refresh landing the AES round
+    # ops were budgeted for (sub 26 / mix 27 / ark 9).
+    n_level = (
+        int(_os.environ.get("AES_FHE_ENC10_LEVELS", "0"))
+        or (98 if scale_bits == 58 else 82)
+    )
     ctx, enc = build(
         logn, n_level, secret_hamming=192, scale_bits=scale_bits
     )
@@ -651,7 +661,12 @@ def _orchestrate_segments(
     import subprocess
 
     ckpt = _os.environ.get("AES_FHE_SEGMENT_CKPT", ckpt_default)
-    seg_budget = int(_os.environ.get("AES_FHE_SEG_BUDGET", "2400"))
+    # Budget PER SEGMENT.  The first segment of a cold container carries
+    # nearly the whole compile load (keygen + bootstrap DFT keygen + every
+    # program signature of rounds 0..9) — give it room; warm segments take
+    # minutes.  A segment that overruns is reported as the failed segment
+    # instead of crashing the orchestrator.
+    seg_budget = int(_os.environ.get("AES_FHE_SEG_BUDGET", "4200"))
     seg_times: list[float] = []
     boots = 0
     template: dict = {}
@@ -664,11 +679,27 @@ def _orchestrate_segments(
         note(phase=f"segment {s}:{e}")
         log(f"=== {worker_mode} segment rounds "
             f"[{s}, {e if e is not None else 'final'}] ===")
-        p = subprocess.run(
-            [sys.executable, _os.path.abspath(__file__),
-             worker_mode, str(logn)],
-            env=env, capture_output=True, text=True, timeout=seg_budget,
-        )
+        try:
+            p = subprocess.run(
+                [sys.executable, _os.path.abspath(__file__),
+                 worker_mode, str(logn)],
+                env=env, capture_output=True, text=True, timeout=seg_budget,
+            )
+        except subprocess.TimeoutExpired as te:
+            for line in (te.stderr or b"").decode(errors="replace") \
+                    .splitlines():
+                log(f"  [seg {s}] {line}")
+            log(f"segment {s}:{e} TIMED OUT after {seg_budget}s")
+            return {
+                "metric": metric,
+                "value": round(sum(seg_times), 2),
+                "unit": "s",
+                "correct": False,
+                "partial": True,
+                "failed_segment": f"{s}:{e}",
+                "timeout_sec": seg_budget,
+                "segment_sec": seg_times,
+            }
         for line in p.stderr.splitlines():
             log(f"  [seg {s}] {line}")
         if p.returncode != 0 or not p.stdout.strip():
@@ -743,7 +774,9 @@ def bench_dec10(logn: int):
     from aes_fhe_tpu.utils.serialization import load_ciphertext
 
     ct_path = _os.environ.get("AES_FHE_LOAD_CT", "/tmp/enc10_ct")
-    n_level = 96
+    # MUST match bench_enc10's chain (the saved pair's limb ladder and the
+    # persisted keyset are both params-keyed) — see the comment there.
+    n_level = int(_os.environ.get("AES_FHE_ENC10_LEVELS", "0")) or 98
     ctx, enc = build(logn, n_level, secret_hamming=192)
     rng = np.random.default_rng(0)
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
