@@ -51,6 +51,30 @@ __all__ = ["Bootstrapper"]
 
 
 class Bootstrapper:
+    @staticmethod
+    def range_plan(n: int, h: int, theta_max: float = 0.35):
+        """EvalMod range ``K`` and double-angle count ``r`` for ring degree
+        ``n`` and secret Hamming weight ``h`` — static so tests can pin it.
+
+        Centered ModRaise: per-coefficient I ~ Gaussian with sigma =
+        sqrt(h/12).  EvalMod must cover the MAX |I| over all 2N lift
+        coefficients of ~30 refreshes per run, so the multiplier is the
+        extreme-value quantile sqrt(2*ln(2N)) plus margin — NOT a fixed
+        4.5 (round-4 root cause: at N=2^15 the old 4.5-sigma,
+        N-independent bound was exceeded by ONE coefficient at a random
+        refresh in every 10-round pipeline run, corrupting all slots of
+        that ciphertext at once — while logn<=8 tests, with a
+        256-coefficient max, never saw it.  diag_rounds.py showed the
+        cliff; diag_leak.py proved the same refresh on a below-bound
+        input is exact 12/12 times).  And the range must satisfy
+        K/2 >= bound: the old next_pow2(bound) gave K=32 -> range 16 <
+        bound 21 even at its own 4.5 sigma."""
+        z = math.sqrt(2.0 * math.log(2.0 * n)) + 1.5
+        bound = z * math.sqrt(h / 12.0) + 3.0
+        K = max(8, 1 << math.ceil(math.log2(2.0 * bound)))
+        r = math.ceil(math.log2(2 * math.pi * (K / 2 + 1) / theta_max))
+        return K, r
+
     def __init__(
         self,
         ctx: CkksContext,
@@ -76,22 +100,7 @@ class Bootstrapper:
             boot_scale_bits = 20 if p.scale >= (1 << 40) else 26
         h = ctx.secret_hamming or (2 * p.n) // 3
         if K is None:
-            # Centered ModRaise: per-coefficient I ~ Gaussian with sigma =
-            # sqrt(h/12).  EvalMod must cover the MAX |I| over all 2N lift
-            # coefficients of ~30 refreshes per run, so the multiplier is
-            # the extreme-value quantile sqrt(2*ln(2N)) plus margin — NOT a
-            # fixed 4.5 (round-4 root cause: at N=2^15 the old 4.5-sigma,
-            # N-independent bound was exceeded by ONE coefficient at a
-            # random refresh in every 10-round pipeline run, corrupting all
-            # slots of that ciphertext at once — while logn<=8 tests, with
-            # a 256-coefficient max, never saw it.  diag_rounds.py showed
-            # the cliff; diag_leak.py proved the same refresh on a
-            # below-bound input is exact 12/12 times).  And the range must
-            # satisfy K/2 >= bound: the old next_pow2(bound) gave K=32 ->
-            # range 16 < bound 21 even at its own 4.5 sigma.
-            z = math.sqrt(2.0 * math.log(2.0 * p.n)) + 1.5
-            bound = z * math.sqrt(h / 12.0) + 3.0
-            K = max(8, 1 << math.ceil(math.log2(2.0 * bound)))
+            K, _ = self.range_plan(p.n, h, theta_max)
         assert K % 2 == 0
         self.K = K
         # symmetric range |t| <= K/2: phase 2*pi*(K/2+1)/2^r <= theta_max

@@ -69,3 +69,34 @@ def test_bootstrap_refreshes(bctx, booter, rng):
     # refreshed ciphertext must support further multiplication
     sq = bctx.multiply(fresh, fresh, drop=2)
     np.testing.assert_allclose(bctx.decrypt_values(sq), vals * vals, atol=1e-3)
+
+@pytest.mark.fast
+def test_evalmod_range_plan():
+    """Pin the EvalMod range policy (round-4 corruption-cliff root cause:
+    an N-independent 4.5-sigma bound that one of ~2N x 30-refresh lift
+    coefficients exceeded per 10-round run at N=2^15, bootstrap.py
+    ``range_plan`` docstring).  Guards both failure modes: under-coverage
+    (K/2 < extreme-value bound) and silent widening (K growth changes the
+    double-angle count r, which consumes 2 more limbs per refresh and
+    breaks the bench chain's landing-limb budget — bench.py enc10
+    builds 98 primes for exactly r=10)."""
+    import math
+
+    from aes_fhe_tpu.ckks.bootstrap import Bootstrapper
+
+    for logn in (7, 8, 15, 16):
+        n = 1 << logn
+        for h in (32, 64, 192, (2 * n) // 3):
+            K, r = Bootstrapper.range_plan(n, h)
+            z = math.sqrt(2.0 * math.log(2.0 * n)) + 1.5
+            bound = z * math.sqrt(h / 12.0) + 3.0
+            # coverage: the symmetric range must contain the max lift
+            assert K / 2 >= bound, (logn, h, K, bound)
+            # the Taylor input range promise EvalMod compiles against
+            assert 2 * math.pi * (K / 2 + 1) / 2**r <= 0.35 + 1e-9
+
+    # The bench configuration, pinned: a drift in either value silently
+    # shifts the refresh landing level at N=2^15 — fail HERE, not at
+    # trace time inside a 40-minute TPU run.
+    assert Bootstrapper.range_plan(1 << 15, 192) == (64, 10)
+    assert Bootstrapper.range_plan(1 << 16, 192) == (64, 10)
