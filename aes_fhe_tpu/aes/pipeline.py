@@ -70,9 +70,26 @@ class AES128:
         use_jit: bool = False,
         stab_sync: bool | None = None,
         entry_limbs: int | None = None,
+        merged_stab: bool = False,
     ):
         self.ctx = ctx
         self.policy = policy
+        # Two-stabilize round schedule: sub -> stab -> sr -> mc -> ark ->
+        # stab (and the final round rides its trailing output stabilize
+        # alone).  Requires the refresh to land with enough limbs for the
+        # merged segment — sr(1) + mc(27) + ark(9) = 37 on the bench
+        # chain, i.e. a >=102-prime chain landing at 38 (probed in
+        # tools/probe_limbs.py) vs the 3-stab schedule's 34-limb landing
+        # at 100 primes.  Cuts the refresh count of a 10-round encryption
+        # from 30 stacked-pair bootstraps to 20 (decryption: 30 -> 21);
+        # the refresh dominates enc10 wall time (~8-12 s per op+refresh
+        # segment, DESIGN.md §18), so this is the single biggest lever on
+        # the headline number.
+        self.merged_stab = merged_stab
+        # Optional instrumentation: called as stage_hook(tag, ct_pair) at
+        # every stage boundary (works under abstract tracing — the limb
+        # probe drives the REAL pipeline through jax.eval_shape with this).
+        self.stage_hook = None
         # Mod-switch fresh encryptions down to ``entry_limbs`` before round
         # 0 (exact: dropping RNS rows is ciphertext mod a divisor modulus).
         # Under the BOOTSTRAP policy every refresh lands at a fixed level
@@ -153,6 +170,8 @@ class AES128:
             state = self.encoder.encrypt(decoded)
         if self.stab_sync:
             self._sync(state, tag)
+        if self.stage_hook is not None:
+            self.stage_hook(tag, state)
         if debug is not None:
             debug[tag] = self._snapshot(state)
         return state
@@ -179,6 +198,8 @@ class AES128:
             )
 
     def _log(self, debug: dict | None, tag: str, state: CtPair) -> CtPair:
+        if self.stage_hook is not None:
+            self.stage_hook(tag, state)
         if debug is not None:
             debug[tag] = self._snapshot(state)
         return state
@@ -239,14 +260,16 @@ class AES128:
             ct = self._stabilize(ct, debug, f"enc.r{r}.sub.stab")
             ct = self._log(debug, f"enc.r{r}.sr", self.shift(ct))
             ct = self._log(debug, f"enc.r{r}.mc", self.mix(ct))
-            ct = self._stabilize(ct, debug, f"enc.r{r}.mc.stab")
+            if not self.merged_stab:
+                ct = self._stabilize(ct, debug, f"enc.r{r}.mc.stab")
             ct = self._log(debug, f"enc.r{r}.ark", self.ark(ct, rk[r]))
             ct = self._stabilize(ct, debug, f"enc.r{r}.stab")
             if stop_round is not None and r + 1 >= stop_round:
                 return ct  # segment end: caller resumes with start_round=r+1
 
         ct = self._log(debug, "enc.final.sub", self.sub(*ct))
-        ct = self._stabilize(ct, debug, "enc.final.sub.stab")
+        if not self.merged_stab:
+            ct = self._stabilize(ct, debug, "enc.final.sub.stab")
         ct = self._log(debug, "enc.final.sr", self.shift(ct))
         ct = self._log(debug, "enc.final.ark", self.ark(ct, rk[n_rounds]))
         ct = self._stabilize(ct, debug, "enc.output")
@@ -290,7 +313,8 @@ class AES128:
             ct = self._log(debug, f"dec.r{r}.isb", self.inv_sub(*ct))
             ct = self._stabilize(ct, debug, f"dec.r{r}.isb.stab")
             ct = self._log(debug, f"dec.r{r}.ark", self.ark(ct, rk[r]))
-            ct = self._stabilize(ct, debug, f"dec.r{r}.ark.stab")
+            if not self.merged_stab:
+                ct = self._stabilize(ct, debug, f"dec.r{r}.ark.stab")
             ct = self._log(debug, f"dec.r{r}.imc", self.inv_mix(ct))
             ct = self._stabilize(ct, debug, f"dec.r{r}.imc.stab")
             if stop_round is not None and r <= stop_round:

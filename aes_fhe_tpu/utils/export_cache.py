@@ -142,6 +142,12 @@ class ExportCache:
     def __init__(self, directory: str | os.PathLike):
         self.dir = Path(directory)
         self._mem: dict[str, object] = {}
+        # every cache file this process loaded or created, in use order —
+        # the bench writes these to a manifest so a fast static test can
+        # assert the committed cache still covers the driver's round
+        # (round-4: a re-exported .jaxexp sat untracked and the driver
+        # re-exported + recompiled its way past the budget)
+        self.used: list[str] = []
 
     def _key(self, tag: str, extra: str, args, kwargs) -> str:
         parts = [jax.__version__, jax.default_backend(), tag, extra]
@@ -193,7 +199,10 @@ class ExportCache:
                 self._warn("export failed", tag, e)
                 return None
         try:
-            return jexport.deserialize(blob)
+            out = jexport.deserialize(blob)
+            if path.name not in self.used:
+                self.used.append(path.name)
+            return out
         except Exception as e:
             self._warn("deserialize failed", tag, e)
             return None
@@ -208,10 +217,11 @@ class ExportCache:
         except Exception as e:
             self._warn("keying failed", tag, e)
             return None, "error"
-        if key in self._mem:
-            return self._mem[key], "mem"
-
         path = self._path(tag, key)
+        if key in self._mem:
+            if path.name not in self.used:
+                self.used.append(path.name)
+            return self._mem[key], "mem"
         blob = None
         status = "miss"
         if path.exists():
@@ -250,6 +260,8 @@ class ExportCache:
             self._warn("deserialize failed", tag, e)
             return None, "error"
         self._mem[key] = call
+        if path.name not in self.used:
+            self.used.append(path.name)
         return call, status
 
     @staticmethod

@@ -19,6 +19,7 @@ Everything round-trips bit-exactly (tests/test_serialization.py)."""
 from __future__ import annotations
 
 import json
+import os
 from fractions import Fraction
 from pathlib import Path
 
@@ -48,11 +49,19 @@ def _scale_of(s: str) -> Fraction:
 
 
 def save_ciphertext(path: str | Path, ct: Ciphertext) -> None:
+    """Atomic: write to a temp name then os.replace, so a concurrent
+    poller (tools/run_dec10.sh waits on these files) can never load a
+    truncated archive — same discipline as the keyset saver."""
+    p = Path(path)
+    if p.suffix != ".npz":  # np.savez appends .npz to suffix-less paths
+        p = p.with_name(p.name + ".npz")
+    tmp = p.with_name(p.name + ".tmp.npz")
     np.savez_compressed(
-        Path(path),
+        tmp,
         data=np.asarray(ct.data),
         meta=json.dumps({"scale": _scale_str(ct.scale), "ntt": ct.ntt}),
     )
+    os.replace(tmp, p)
 
 
 def load_ciphertext(path: str | Path) -> Ciphertext:

