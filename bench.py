@@ -549,9 +549,14 @@ def bench_enc10(logn: int, scale_bits: int = 58):
     # 2/16384 bytes — root cause still open, do not enable for measured
     # runs until it is.
     entry = int(_os.environ.get("AES_FHE_ENTRY_LIMBS", "0")) or None
+    # AES_FHE_MERGED_STAB=1: the two-stabilize round schedule (20 refreshes
+    # per 10-round pass instead of 30).  Needs a chain whose refresh lands
+    # >=42 limbs — probe-verified: 106 levels land at 45 (set
+    # AES_FHE_ENC10_LEVELS=106 together with this flag).
+    merged = _os.environ.get("AES_FHE_MERGED_STAB", "0") == "1"
     pipe = AES128(
         ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit,
-        entry_limbs=entry,
+        entry_limbs=entry, merged_stab=merged,
     )
     resave_keys(ctx)  # persist the bootstrap DFT keys for warm runs
     n_rounds = int(_os.environ.get("AES_FHE_ENC_ROUNDS", "10"))
@@ -837,7 +842,8 @@ def bench_dec10(logn: int):
         f"(l={ct[0].n_limbs})")
 
     want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
-    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit)
+    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit,
+                  merged_stab=_os.environ.get("AES_FHE_MERGED_STAB", "0") == "1")
     resave_keys(ctx)
 
     # Segment-worker mode (``dec10seg`` orchestrator): inverse rounds
@@ -1088,7 +1094,8 @@ def bench_roundtrip(logn: int):
     rks = R.expand_aes128_key(key)
 
     want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
-    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit)
+    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit,
+                  merged_stab=_os.environ.get("AES_FHE_MERGED_STAB", "0") == "1")
     resave_keys(ctx)  # persist the bootstrap DFT keys for warm runs
     t0 = time.time()
     ct = pipe.encrypt_states(states, rks)
@@ -1145,7 +1152,8 @@ def bench_boot(logn: int):
     rng = np.random.default_rng(0)
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
     want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
-    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit)
+    pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit,
+                  merged_stab=_os.environ.get("AES_FHE_MERGED_STAB", "0") == "1")
     resave_keys(ctx)
     ct = enc.encrypt(states)
     # enter at a depleted level, like a post-SubBytes ciphertext (dropping

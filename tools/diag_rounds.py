@@ -26,7 +26,8 @@ from aes_fhe_tpu.aes import reference as R
 def main() -> None:
     n_rounds = int(os.environ.get("AES_FHE_DIAG_ROUNDS", "10"))
     entry = int(os.environ.get("AES_FHE_ENTRY_LIMBS", "0")) or None
-    ctx, enc = bench.build(15, 96, secret_hamming=192)
+    n_level = int(os.environ.get("AES_FHE_ENC10_LEVELS", "0")) or 100
+    ctx, enc = bench.build(15, n_level, secret_hamming=192)
     pipe = AES128(
         ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=True, entry_limbs=entry
     )
@@ -35,6 +36,18 @@ def main() -> None:
     rks = R.expand_aes128_key(np.arange(16, dtype=np.uint8))
 
     debug: dict[str, np.ndarray] = {}
+    slots: dict[str, tuple] = {}
+    if os.environ.get("AES_FHE_DIAG_VALUES", "0") == "1":
+        # record raw slot values per stage so the noise trajectory (max
+        # |slot - ideal codeword|) is visible, not just byte verdicts —
+        # distinguishes a noise cliff from discrete corruption
+        def hook(tag, ct):
+            slots[tag] = (
+                ctx.decrypt_values(ct[0]).copy(),
+                ctx.decrypt_values(ct[1]).copy(),
+            )
+
+        pipe.stage_hook = hook
     pipe.encrypt_states(states, rks, n_rounds=n_rounds, debug=debug)
 
     # reference intermediates, tagged like the pipeline's _log calls
@@ -66,9 +79,30 @@ def main() -> None:
         bad = dec != ref[tag]
         m = int(bad.sum())
         n_blocks_bad = int((bad.any(axis=1)).sum())
+        err_s = ""
+        if tag in slots:
+            hi_ideal, lo_ideal = enc.pack_slots(ref[tag])
+            # op outputs are phase-correct but not magnitude-normalized
+            # (XOR4 outputs ride un-renormalized magnitudes by design —
+            # SURVEY.md Q2); compare PHASES on the used slots
+            ph = np.abs(np.concatenate([
+                np.angle(slots[tag][0] / hi_ideal).ravel(),
+                np.angle(slots[tag][1] / lo_ideal).ravel(),
+            ]))
+            mags = np.concatenate([
+                np.abs(slots[tag][0]).ravel(),
+                np.abs(slots[tag][1]).ravel(),
+            ])
+            err_s = (
+                f"  |ph| med {np.median(ph):8.1e}"
+                f" p99.9 {np.percentile(ph, 99.9):8.1e}"
+                f" max {ph.max():8.1e}"
+                f"  |z| med {np.median(mags):8.2f}"
+                f" max {mags.max():8.2f}"
+            )
         print(
             f"{tag:24s} bytes wrong {m:6d}/{bad.size}  "
-            f"blocks tainted {n_blocks_bad:5d}/{bad.shape[0]}",
+            f"blocks tainted {n_blocks_bad:5d}/{bad.shape[0]}{err_s}",
             flush=True,
         )
 
