@@ -71,6 +71,7 @@ class AES128:
         stab_sync: bool | None = None,
         entry_limbs: int | None = None,
         merged_stab: bool = False,
+        snap_count: int = 1,
     ):
         self.ctx = ctx
         self.policy = policy
@@ -86,6 +87,17 @@ class AES128:
         # segment, DESIGN.md §18), so this is the single biggest lever on
         # the headline number.
         self.merged_stab = merged_stab
+        # Snap applications per stabilize.  ONE snap on a slot with phase
+        # error theta leaves magnitude ~|17/16 - (1/16)e^{i16 theta}|: the
+        # worst XOR-chain tail at N=2^15 (theta ~ 3.4e-2, measured round-5
+        # value diag) leaves |z| ~ 1.009 — which the S-box ^128 ladder
+        # amplifies to 1.009^128 ~ 3.5, and the NEXT snap then DIVERGES
+        # ((1/16)|x|^17 ~ 1e8 at |x|=3.5), wrecking MixColumns globally
+        # (the enc.r2.mc cliff, DESIGN.md §22).  A SECOND snap contracts
+        # the magnitude residual quadratically (1.009 -> ~0.9992), keeping
+        # the ladder input inside the snap basin.  Costs ~12 limbs per
+        # extra snap: the refresh must land deep enough (108-prime chain).
+        self.snap_count = snap_count
         # Optional instrumentation: called as stage_hook(tag, ct_pair) at
         # every stage boundary (works under abstract tracing — the limb
         # probe drives the REAL pipeline through jax.eval_shape with this).
@@ -155,7 +167,8 @@ class AES128:
 
     def _stabilize(self, state: CtPair, debug: dict | None, tag: str) -> CtPair:
         if self.policy is SnapPolicy.POLY:
-            state = self.snap.pair(state)
+            for _ in range(self.snap_count):
+                state = self.snap.pair(state)
         elif self.policy is SnapPolicy.BOOTSTRAP:
             from ..ckks.types import stack_cts, unstack_cts
 
@@ -163,7 +176,8 @@ class AES128:
             # EvalMod kernel sees a leading batch axis of 2)
             out = self.bootstrapper(stack_cts(self.ctx.align(*state)))
             state = tuple(unstack_cts(out))
-            state = self.snap.pair(state)
+            for _ in range(self.snap_count):
+                state = self.snap.pair(state)
         elif self.policy is SnapPolicy.DEBUG_RENORM:
             n = self.encoder.batch
             decoded = self.encoder.decrypt(state[0], state[1], n_blocks=n)

@@ -557,6 +557,7 @@ def bench_enc10(logn: int, scale_bits: int = 58):
     pipe = AES128(
         ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit,
         entry_limbs=entry, merged_stab=merged,
+        snap_count=int(_os.environ.get("AES_FHE_SNAP_COUNT", "1")),
     )
     resave_keys(ctx)  # persist the bootstrap DFT keys for warm runs
     n_rounds = int(_os.environ.get("AES_FHE_ENC_ROUNDS", "10"))
@@ -843,7 +844,8 @@ def bench_dec10(logn: int):
 
     want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
     pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit,
-                  merged_stab=_os.environ.get("AES_FHE_MERGED_STAB", "0") == "1")
+                  merged_stab=_os.environ.get("AES_FHE_MERGED_STAB", "0") == "1",
+                  snap_count=int(_os.environ.get("AES_FHE_SNAP_COUNT", "1")))
     resave_keys(ctx)
 
     # Segment-worker mode (``dec10seg`` orchestrator): inverse rounds
@@ -1095,7 +1097,8 @@ def bench_roundtrip(logn: int):
 
     want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
     pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit,
-                  merged_stab=_os.environ.get("AES_FHE_MERGED_STAB", "0") == "1")
+                  merged_stab=_os.environ.get("AES_FHE_MERGED_STAB", "0") == "1",
+                  snap_count=int(_os.environ.get("AES_FHE_SNAP_COUNT", "1")))
     resave_keys(ctx)  # persist the bootstrap DFT keys for warm runs
     t0 = time.time()
     ct = pipe.encrypt_states(states, rks)
@@ -1153,7 +1156,8 @@ def bench_boot(logn: int):
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
     want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
     pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit,
-                  merged_stab=_os.environ.get("AES_FHE_MERGED_STAB", "0") == "1")
+                  merged_stab=_os.environ.get("AES_FHE_MERGED_STAB", "0") == "1",
+                  snap_count=int(_os.environ.get("AES_FHE_SNAP_COUNT", "1")))
     resave_keys(ctx)
     ct = enc.encrypt(states)
     # enter at a depleted level, like a post-SubBytes ciphertext (dropping

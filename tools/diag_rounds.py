@@ -29,7 +29,9 @@ def main() -> None:
     n_level = int(os.environ.get("AES_FHE_ENC10_LEVELS", "0")) or 100
     ctx, enc = bench.build(15, n_level, secret_hamming=192)
     pipe = AES128(
-        ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=True, entry_limbs=entry
+        ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=True, entry_limbs=entry,
+        snap_count=int(os.environ.get("AES_FHE_SNAP_COUNT", "1")),
+        merged_stab=os.environ.get("AES_FHE_MERGED_STAB", "0") == "1",
     )
     rng = np.random.default_rng(0)
     states = rng.integers(0, 256, (enc.batch, 16), dtype=np.uint8)
