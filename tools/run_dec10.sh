@@ -12,7 +12,8 @@
 set -u
 cd /root/repo
 CT=${AES_FHE_LOAD_CT:-/root/repo/.enc10_ct}
-LEVELS=${AES_FHE_ENC10_LEVELS:-100}
+LEVELS=${AES_FHE_ENC10_LEVELS:-108}
+SNAPS=${AES_FHE_SNAP_COUNT:-2}
 OUT=${DEC10_OUT:-BENCH_dec10_r05.json}
 for i in $(seq 1 720); do
   [ -f "$CT.hi.npz" ] && [ -f "$CT.lo.npz" ] && break
@@ -26,6 +27,7 @@ fi
 # (save_ciphertext is atomic-rename, so the files cannot be mid-write)
 sleep 30
 AES_FHE_BENCH_BUDGET=0 AES_FHE_LOAD_CT="$CT" AES_FHE_ENC10_LEVELS="$LEVELS" \
+  AES_FHE_SNAP_COUNT="$SNAPS" \
   python bench.py dec10 > /tmp/dec10_run.log 2>&1
 rc=$?
 tail -1 /tmp/dec10_run.log > "$OUT"
@@ -41,7 +43,8 @@ if [ $rc -eq 0 ] && grep -q '"aes128_decrypt10_sec"' "$OUT"; then
   git commit -q -m "$msg
 
 Driver-reproducible via AES_FHE_LOAD_CT=<enc10 pair> \
-AES_FHE_ENC10_LEVELS=$LEVELS python bench.py dec10; the second half of the
+AES_FHE_ENC10_LEVELS=$LEVELS AES_FHE_SNAP_COUNT=$SNAPS python bench.py dec10;
+the second half of the
 reference's 22,146 s roundtrip (reference README.md:118-119). Auto-recorded
 by tools/run_dec10.sh at run completion; the correct flag in the JSON is
 authoritative.
