@@ -43,6 +43,7 @@ __all__ = [
     "MixColumns",
     "InvMixColumns",
     "Snap",
+    "MagDamp",
     "SnapNoMul",
     "NoiseReducer",
     "Snap1D",
@@ -470,6 +471,66 @@ class Snap:
         coeffs[0, 17] = -1.0 / 16.0
         by = [None] + [basis.get(k) for k in range(1, 17)] + [x17]
         return eval_lut_2d(ctx, coeffs, [None], by)
+
+    def pair(self, state: CtPair) -> CtPair:
+        out = self.one(stack_cts(self.ctx.align(*state)))
+        o0, o1 = unstack_cts(out)
+        return o0, o1
+
+
+class MagDamp:
+    """Bounded magnitude damper: g(x) = x * p(x * conj(x)).
+
+    The snap polynomial is UNBOUNDED: (1/16)|x|^17 diverges for
+    |x| > 16^(1/16) ~ 1.19, so a slot that leaves a LUT ladder
+    off-codebook (|P(z)| up to the coefficient L1 norm, ~3.5 measured at
+    the S-box, 14.6 worst-case) explodes through the next stabilize and
+    — once powers push |z| * scale past Q — wraps the RNS representation
+    and corrupts EVERY slot (the round-5 enc.r2.mc cliff, DESIGN.md
+    §22-23).  g is the closed-loop safety net: p is a cubic in m = |x|^2
+    constrained by p(1) = 1, p'(1) = -1/2 (so |g| has a critical point at
+    the unit circle: codeword magnitudes are preserved to O(delta^2)) and
+    fitted so max |sqrt(m) p(m)| <= 1.0 over m <= 16.5 — every input with
+    |x| <= 4.06 maps INSIDE the unit disk, phases untouched.  A wrong
+    slot stays wrong-but-bounded (the reference's hard-renorm behavior)
+    instead of detonating the ciphertext.  Cost: 4 ct*ct multiplies.
+
+    Fit (round-5): c2 = 0.059, c3 = -0.002 gives peak 0.99999994 on
+    m in [0, 16.5]; codeword |g| at delta = 0.01 is 0.99988."""
+
+    C2, C3 = 0.059, -0.002
+
+    def __init__(self, ctx: CkksContext, use_jit: bool = False):
+        self.ctx = ctx
+        self._one = ctx.jit_fn(self._one_impl) if use_jit else self._one_impl
+
+    def one(self, ct: Ciphertext) -> Ciphertext:
+        return self._one(ct)
+
+    def _one_impl(self, ct: Ciphertext) -> Ciphertext:
+        ctx = self.ctx
+        ws, wdrop = ctx.ladder()
+        x = ct if ct.scale == ws else ctx.to_scale(ct, ws)
+        m = ctx.multiply(x, ctx.conjugate(x), drop=wdrop)   # |x|^2 (real)
+        m2 = ctx.multiply(m, m, drop=wdrop)
+        m3 = ctx.multiply(m2, m, drop=wdrop)
+        # p(m) = 1 - (m-1)/2 + C2 (m-1)^2 + C3 (m-1)^3, expanded in m
+        c2, c3 = self.C2, self.C3
+        a0 = 1.0 + 0.5 + c2 - c3
+        a1 = -0.5 - 2.0 * c2 + 3.0 * c3
+        a2 = c2 - 3.0 * c3
+        a3 = c3
+        coeffs = np.zeros((1, 4), np.complex128)
+        coeffs[0, 0] = a0
+        coeffs[0, 1] = a1
+        coeffs[0, 2] = a2
+        coeffs[0, 3] = a3
+        l = min(x.n_limbs, m3.n_limbs)
+        by = [None, ctx.drop_limbs(m, m.n_limbs - l),
+              ctx.drop_limbs(m2, m2.n_limbs - l), m3]
+        s = eval_lut_2d(ctx, coeffs, [None], by, delta_out=ws)
+        xa, sa = ctx.align(x, s)
+        return ctx.multiply(xa, sa, drop=wdrop)
 
     def pair(self, state: CtPair) -> CtPair:
         out = self.one(stack_cts(self.ctx.align(*state)))

@@ -36,6 +36,7 @@ from .ops import (
     MixColumns,
     InvMixColumns,
     Snap,
+    MagDamp,
     rotation_steps_required,
 )
 
@@ -72,6 +73,7 @@ class AES128:
         entry_limbs: int | None = None,
         merged_stab: bool = False,
         snap_count: int = 1,
+        mag_damp: bool = False,
     ):
         self.ctx = ctx
         self.policy = policy
@@ -98,6 +100,13 @@ class AES128:
         # the ladder input inside the snap basin.  Costs ~12 limbs per
         # extra snap: the refresh must land deep enough (108-prime chain).
         self.snap_count = snap_count
+        # Bounded magnitude damping (ops.MagDamp) applied BEFORE the snaps
+        # in every stabilize: maps any |x| <= 4.06 into the unit disk with
+        # codeword magnitudes preserved to O(delta^2), so an off-codebook
+        # LUT output (|P(z)| up to ~3.5 measured) can never detonate the
+        # snap's unbounded x^17 term.  Costs 4 ct*ct multiplies (~8 limbs)
+        # per stabilize; pair with snap_count >= 2 and a deeper chain.
+        self.mag_damp = mag_damp
         # Optional instrumentation: called as stage_hook(tag, ct_pair) at
         # every stage boundary (works under abstract tracing — the limb
         # probe drives the REAL pipeline through jax.eval_shape with this).
@@ -150,6 +159,7 @@ class AES128:
         self.mix = MixColumns(ctx, self.xor4, stride, use_jit=use_jit)
         self.inv_mix = InvMixColumns(ctx, self.xor4, stride, use_jit=use_jit)
         self.snap = Snap(ctx, use_jit=use_jit)
+        self.damp = MagDamp(ctx, use_jit=use_jit)
         self._rk_cache: dict[int, list[CtPair]] = {}
 
     # ------------------------------------------------------------------
@@ -167,6 +177,8 @@ class AES128:
 
     def _stabilize(self, state: CtPair, debug: dict | None, tag: str) -> CtPair:
         if self.policy is SnapPolicy.POLY:
+            if self.mag_damp:
+                state = self.damp.pair(state)
             for _ in range(self.snap_count):
                 state = self.snap.pair(state)
         elif self.policy is SnapPolicy.BOOTSTRAP:
@@ -176,6 +188,8 @@ class AES128:
             # EvalMod kernel sees a leading batch axis of 2)
             out = self.bootstrapper(stack_cts(self.ctx.align(*state)))
             state = tuple(unstack_cts(out))
+            if self.mag_damp:
+                state = self.damp.pair(state)
             for _ in range(self.snap_count):
                 state = self.snap.pair(state)
         elif self.policy is SnapPolicy.DEBUG_RENORM:

@@ -558,6 +558,7 @@ def bench_enc10(logn: int, scale_bits: int = 58):
         ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit,
         entry_limbs=entry, merged_stab=merged,
         snap_count=int(_os.environ.get("AES_FHE_SNAP_COUNT", "1")),
+        mag_damp=_os.environ.get("AES_FHE_MAG_DAMP", "0") == "1",
     )
     resave_keys(ctx)  # persist the bootstrap DFT keys for warm runs
     n_rounds = int(_os.environ.get("AES_FHE_ENC_ROUNDS", "10"))
@@ -845,7 +846,8 @@ def bench_dec10(logn: int):
     want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
     pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit,
                   merged_stab=_os.environ.get("AES_FHE_MERGED_STAB", "0") == "1",
-                  snap_count=int(_os.environ.get("AES_FHE_SNAP_COUNT", "1")))
+                  snap_count=int(_os.environ.get("AES_FHE_SNAP_COUNT", "1")),
+                  mag_damp=_os.environ.get("AES_FHE_MAG_DAMP", "0") == "1")
     resave_keys(ctx)
 
     # Segment-worker mode (``dec10seg`` orchestrator): inverse rounds
@@ -1098,7 +1100,8 @@ def bench_roundtrip(logn: int):
     want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
     pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit,
                   merged_stab=_os.environ.get("AES_FHE_MERGED_STAB", "0") == "1",
-                  snap_count=int(_os.environ.get("AES_FHE_SNAP_COUNT", "1")))
+                  snap_count=int(_os.environ.get("AES_FHE_SNAP_COUNT", "1")),
+                  mag_damp=_os.environ.get("AES_FHE_MAG_DAMP", "0") == "1")
     resave_keys(ctx)  # persist the bootstrap DFT keys for warm runs
     t0 = time.time()
     ct = pipe.encrypt_states(states, rks)
@@ -1157,7 +1160,8 @@ def bench_boot(logn: int):
     want_jit = _os.environ.get("AES_FHE_BENCH_JIT", "1") != "0"
     pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=want_jit,
                   merged_stab=_os.environ.get("AES_FHE_MERGED_STAB", "0") == "1",
-                  snap_count=int(_os.environ.get("AES_FHE_SNAP_COUNT", "1")))
+                  snap_count=int(_os.environ.get("AES_FHE_SNAP_COUNT", "1")),
+                  mag_damp=_os.environ.get("AES_FHE_MAG_DAMP", "0") == "1")
     resave_keys(ctx)
     ct = enc.encrypt(states)
     # enter at a depleted level, like a post-SubBytes ciphertext (dropping

@@ -31,6 +31,7 @@ def main() -> None:
     pipe = AES128(
         ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=True, entry_limbs=entry,
         snap_count=int(os.environ.get("AES_FHE_SNAP_COUNT", "1")),
+        mag_damp=os.environ.get("AES_FHE_MAG_DAMP", "0") == "1",
         merged_stab=os.environ.get("AES_FHE_MERGED_STAB", "0") == "1",
     )
     rng = np.random.default_rng(0)

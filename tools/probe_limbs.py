@@ -47,7 +47,8 @@ def main() -> None:
     ctx, enc = bench.build(logn, n_level, secret_hamming=192, scale_bits=58)
     pipe = AES128(ctx, policy=SnapPolicy.BOOTSTRAP, use_jit=False,
                   stab_sync=False, merged_stab=merged,
-                  snap_count=int(os.environ.get("AES_FHE_SNAP_COUNT", "1")))
+                  snap_count=int(os.environ.get("AES_FHE_SNAP_COUNT", "1")),
+                  mag_damp=os.environ.get("AES_FHE_MAG_DAMP", "0") == "1")
     last_hooked = {}
 
     def hook(tag, ct):
