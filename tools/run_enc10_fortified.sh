@@ -1,0 +1,31 @@
+#!/bin/bash
+# Detached runner for the FORTIFIED 10-round encryption: 128-prime chain,
+# MagDamp + 3 snap applications per stabilize (the round-5 root-cause fix
+# for the r2.mc explosion, DESIGN.md §22-23).  Self-records the artifact
+# and commits it so a builder session that ends mid-run still lands the
+# measurement.  Usage: nohup setsid tools/run_enc10_fortified.sh &
+set -u
+cd /root/repo
+OUT=${ENC10_OUT:-BENCH_enc10_r05_fortified.json}
+AES_FHE_BENCH_BUDGET=0 AES_FHE_ENC10_LEVELS=128 AES_FHE_SNAP_COUNT=3 \
+  AES_FHE_MAG_DAMP=1 AES_FHE_LOG_ROUNDS=1 \
+  AES_FHE_SAVE_CT=/root/repo/.enc10f_ct \
+  timeout 14000 python bench.py enc10 > /tmp/enc10f_run.log 2>&1
+rc=$?
+grep '^{' /tmp/enc10f_run.log | tail -1 > "$OUT"
+if [ -s "$OUT" ] && grep -q '"aes128_encrypt10_sec"' "$OUT"; then
+  if grep -q '"correct": true' "$OUT"; then
+    msg="Record the verified-correct on-chip 10-round encryption (fortified stabilize)"
+  else
+    msg="Record a fortified-stabilize 10-round encryption run (see correct flag)"
+  fi
+  git add "$OUT"
+  git commit -q -m "$msg
+
+128-prime chain, MagDamp + snap_count=3 per stabilize (AES_FHE_ENC10_LEVELS=128
+AES_FHE_SNAP_COUNT=3 AES_FHE_MAG_DAMP=1 python bench.py enc10).  The correct
+flag in the JSON is authoritative; auto-recorded by tools/run_enc10_fortified.sh.
+
+No-Verification-Needed: benchmark artifact JSON only"
+fi
+exit $rc
