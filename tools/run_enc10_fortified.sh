@@ -1,14 +1,15 @@
 #!/bin/bash
-# Detached runner for the FORTIFIED 10-round encryption: 128-prime chain,
-# MagDamp + 3 snap applications per stabilize (the round-5 root-cause fix
-# for the r2.mc explosion, DESIGN.md §22-23).  Self-records the artifact
+# Detached runner for the FORTIFIED 10-round encryption: 123-prime chain,
+# 3 snap applications per stabilize (the round-5 root-cause fix;
+# triple-snap residual keeps magnitudes at 1±1e-6 so the x^17 explosion
+# never starts - DESIGN.md §22-24).  Self-records the artifact
 # and commits it so a builder session that ends mid-run still lands the
 # measurement.  Usage: nohup setsid tools/run_enc10_fortified.sh &
 set -u
 cd /root/repo
 OUT=${ENC10_OUT:-BENCH_enc10_r05_fortified.json}
-AES_FHE_BENCH_BUDGET=0 AES_FHE_ENC10_LEVELS=128 AES_FHE_SNAP_COUNT=3 \
-  AES_FHE_MAG_DAMP=1 AES_FHE_LOG_ROUNDS=1 \
+AES_FHE_BENCH_BUDGET=0 AES_FHE_ENC10_LEVELS=123 AES_FHE_SNAP_COUNT=3 \
+  AES_FHE_LOG_ROUNDS=1 \
   AES_FHE_SAVE_CT=/root/repo/.enc10f_ct \
   timeout 14000 python bench.py enc10 > /tmp/enc10f_run.log 2>&1
 rc=$?
@@ -22,8 +23,8 @@ if [ -s "$OUT" ] && grep -q '"aes128_encrypt10_sec"' "$OUT"; then
   git add "$OUT"
   git commit -q -m "$msg
 
-128-prime chain, MagDamp + snap_count=3 per stabilize (AES_FHE_ENC10_LEVELS=128
-AES_FHE_SNAP_COUNT=3 AES_FHE_MAG_DAMP=1 python bench.py enc10).  The correct
+123-prime chain, snap_count=3 per stabilize (AES_FHE_ENC10_LEVELS=123
+AES_FHE_SNAP_COUNT=3 python bench.py enc10; the 128-prime MagDamp variant RESOURCE_EXHAUSTED the chip).  The correct
 flag in the JSON is authoritative; auto-recorded by tools/run_enc10_fortified.sh.
 
 No-Verification-Needed: benchmark artifact JSON only"
