@@ -157,3 +157,44 @@ def test_snap_contracts_phase_noise():
     f_nomul = (9 * x + x**9) / 8
     assert phase_err(f_nomul)[1::2].max() < 0.2 * eps   # odd: contracts
     assert phase_err(f_nomul)[0::2].min() > 1.5 * eps   # even: amplifies
+
+def test_mag_damp_bounded_and_codeword_preserving(actx, rng):
+    """MagDamp (the round-5 explosion guard): |g(x)| <= ~1 for every
+    |x| <= 4, codeword magnitudes preserved to O(delta^2), phases
+    untouched — verified homomorphically against the plain cubic model."""
+    from aes_fhe_tpu.aes.ops import MagDamp
+
+    n = actx.params.n_slots
+    mags = rng.uniform(0.2, 3.9, n)
+    phs = rng.uniform(0, 2 * np.pi, n)
+    vals = mags * np.exp(1j * phs)
+    ct = actx.encrypt(vals)
+    d = MagDamp(actx)
+    got = actx.decrypt_values(d.one(ct))
+    m = mags**2
+    c2, c3 = MagDamp.C2, MagDamp.C3
+    p = 1 - (m - 1) / 2 + c2 * (m - 1) ** 2 + c3 * (m - 1) ** 3
+    np.testing.assert_allclose(got, vals * p, atol=1e-3)
+    assert np.max(np.abs(got)) < 1.01  # bounded: inside the snap basin
+    # codewords with 1% magnitude noise come back to ~1 (quadratic)
+    cw = np.exp(-2j * np.pi * rng.integers(0, 16, n) / 16) * 1.01
+    g2 = actx.decrypt_values(d.one(actx.encrypt(cw)))
+    np.testing.assert_allclose(np.abs(g2), 1.0, atol=5e-4)
+    np.testing.assert_allclose(np.angle(g2 / cw), 0.0, atol=1e-4)
+
+
+def test_snap_iteration_contracts_worst_tail():
+    """Plain-math pin of the round-5 fortified-stabilize design: the worst
+    measured stabilize-input tail (theta ~ 3.4e-2) leaves |z| ~ 1.009
+    after ONE snap (which the ^128 S-box ladder amplifies to ~3.5 and the
+    next snap then detonates), while THREE snaps land phase ~ 5e-6 and
+    magnitude 1 +- 1e-5 — below the ^128 ladder's danger threshold."""
+    snap = lambda x: (17 * x - x**17) / 16
+    x1 = snap(np.exp(1j * 0.034))
+    assert abs(abs(x1) - 1) > 5e-3          # single snap leaves the residue
+    assert abs(x1) ** 128 > 2.0             # which the ladder amplifies
+    assert abs(snap(snap(abs(x1) ** 128))) > 1e3  # and the snap detonates
+    x3 = snap(snap(x1))
+    assert abs(np.angle(x3)) < 1e-5
+    assert abs(abs(x3) - 1) < 1e-5
+    assert abs(abs(x3) ** 128 - 1) < 2e-3   # ladder-safe
