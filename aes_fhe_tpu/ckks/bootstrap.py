@@ -88,6 +88,18 @@ class Bootstrapper:
     ):
         self.ctx = ctx
         p = ctx.params
+        import os as _os
+
+        if boot_scale_bits is None and _os.environ.get("AES_FHE_BOOT_SCALE_BITS"):
+            # Round-5 lever: every refresh error is amplified by q0/Delta_b
+            # into the message (2^10 at the default 20 bits -> measured
+            # 2e-4 post-snap floor, which the S-box x128 ladder turns into
+            # the ~3e-2 stabilize-input tails that defeat the snap basin).
+            # The EvalMod frac window (theta_max/2pi ~ 0.056) leaves room
+            # for Delta_b up to ~2^24 at q0 ~ 2^30: m*Delta_b/q0 = 0.016
+            # per unit message — floor drops ~16x, and with it every
+            # downstream tail, at ZERO chain-depth cost.
+            boot_scale_bits = int(_os.environ["AES_FHE_BOOT_SCALE_BITS"])
         if boot_scale_bits is None:
             # The refresh amplifies every error made after ModRaise by
             # q0/Delta_b (the message sits that far below the working
